@@ -1,0 +1,199 @@
+"""Branch-MPC controllers (QP path).
+
+TPU-native equivalents of the reference's ``BranchMPCProx`` (``MPC_branch.py:82``)
+and the live ``BranchMPC`` (``MPC_branch.py:881``). The whole receding-horizon
+step — warm-start shift, tree rebuild, cost assembly, tree-QP solve — is one pure
+jitted function ``step(carry, x, z, xRef, policy_params) -> (carry, result)``;
+a thin stateful wrapper mirrors the reference's ``solve(x, z, xRef)`` API for the
+environments.
+
+The functional core composes:
+  ``shift_warm_start`` (MPC_branch.py:225-234) → ``build_tree`` (129-263) →
+  ``assemble_stage_cost`` (265-325) → ``admm_solve`` (385-487, OSQP-equivalent).
+
+Batching: ``make_branch_mpc_step`` returns a single-instance function; wrap in
+``jax.vmap`` for ensembles (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from belief_planning_tpu.models.predictive import PredictiveModel
+from belief_planning_tpu.solvers.tree_qp import (
+    ADMMConfig,
+    admm_solve,
+    assemble_stage_cost,
+    build_stage_plan,
+)
+from belief_planning_tpu.tree.engine import build_tree, shift_warm_start
+from belief_planning_tpu.tree.topology import TreeTopology, build_topology
+from belief_planning_tpu.utils.config import BranchMPCParams
+
+
+class MPCCarry(NamedTuple):
+    """Warm-start state carried between receding-horizon steps."""
+
+    u_lin: Any        # (totalu, d) previous solution inputs
+    p: Any            # (B, m) previous branch probabilities (for the argmax shift)
+    old_input: Any    # (d,) previously applied input
+    initialized: Any  # () bool — False on the first solve (inittree semantics)
+
+
+class SolveResult(NamedTuple):
+    xPred: Any        # (totalx, n)
+    uPred: Any        # (totalu, d)
+    slack: Any        # (totalu, Nc)
+    w: Any            # (B,) branch weights
+    p: Any            # (B, m)
+    x_lin: Any        # (totalx, n) linearization trajectory used
+    z: Any            # (totalu, n) obstacle nodes
+    prim_res: Any     # () ADMM primal residual
+    feasible: Any     # () bool
+
+
+def make_branch_mpc_step(
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    variant: str = "prox",
+    admm: ADMMConfig = ADMMConfig(),
+    replicate_quirks: bool = True,
+    feas_tol: float = 1e-3,
+):
+    """Build (topo, init_carry_fn, step_fn) for one controller configuration."""
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    plan = build_stage_plan(topo)
+    Fx, bx = params.Fx, params.bx
+    Fu, bu = params.Fu, params.bu
+    Q, R, Qf, dR, Qslack = params.Q, params.R, params.Qf, params.dR, params.Qslack
+
+    def init_carry(dtype=jnp.float32) -> MPCCarry:
+        return MPCCarry(
+            u_lin=jnp.zeros((topo.totalu, params.d), dtype),
+            p=jnp.zeros((topo.n_branches, topo.m), dtype),
+            old_input=jnp.zeros((params.d,), dtype),
+            initialized=jnp.asarray(False),
+        )
+
+    def step(carry: MPCCarry, x, z, xRef, policy_params) -> Tuple[MPCCarry, SolveResult]:
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        xRef = jnp.asarray(xRef)
+        shifted = shift_warm_start(topo, carry.u_lin, carry.p)
+        u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
+        ts = build_tree(model, topo, x, z, u_lin, policy_params)
+        cost = assemble_stage_cost(
+            topo, ts, Q, R, Qf, dR, Qslack, xRef, carry.old_input,
+            variant=variant, replicate_quirks=replicate_quirks,
+        )
+        x_nodes, u, s, st, info = admm_solve(
+            plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, admm,
+        )
+        new_carry = MPCCarry(
+            u_lin=u, p=ts.p, old_input=u[0], initialized=jnp.asarray(True),
+        )
+        res = SolveResult(
+            xPred=x_nodes, uPred=u, slack=s, w=ts.w, p=ts.p,
+            x_lin=ts.x_lin, z=ts.z,
+            prim_res=info["prim_res"],
+            feasible=info["prim_res"] < feas_tol,
+        )
+        return new_carry, res
+
+    return topo, init_carry, step
+
+
+class BranchMPC:
+    """Stateful wrapper mirroring the reference controller API
+    (``solve(x, z, xRef) → uPred/xPred/feasible``, plus ``BT2array`` for viz).
+
+    ``variant='branch'`` ↔ reference live ``BranchMPC`` (``MPC_branch.py:881``),
+    ``variant='prox'`` ↔ ``BranchMPCProx`` (``MPC_branch.py:82``).
+    """
+
+    variant = "branch"
+
+    def __init__(
+        self,
+        mpcParameters: BranchMPCParams,
+        predictiveModel: PredictiveModel,
+        policy_params,
+        admm: ADMMConfig = ADMMConfig(),
+        replicate_quirks: bool = True,
+        dtype=jnp.float64,
+    ):
+        self.params = mpcParameters
+        self.model = predictiveModel
+        self.policy_params = policy_params
+        self.dtype = dtype
+        self.topo, self._init_carry, step = make_branch_mpc_step(
+            predictiveModel, mpcParameters, self.variant, admm, replicate_quirks
+        )
+        self._step = jax.jit(step)
+        self.carry = self._init_carry(dtype)
+        self.N = mpcParameters.N
+        self.n = mpcParameters.n
+        self.d = mpcParameters.d
+        self.xPred = None
+        self.uPred = None
+        self.feasible = 1
+        self.last = None
+        self.solverTime = 0.0
+
+    @property
+    def predictiveModel(self):
+        return self.model
+
+    def update_policy_params(self, policy_params):
+        """Reference ``update_backup`` analog: swap policy targets — pure data,
+        no recompilation (cf. ``highway_branch_dyn.py:331-334``)."""
+        self.policy_params = policy_params
+
+    def solve(self, x, z, xRef=None):
+        import time
+
+        if xRef is None:
+            xRef = self.params.xRef
+        t0 = time.perf_counter()
+        self.carry, res = self._step(
+            self.carry,
+            jnp.asarray(x, self.dtype),
+            jnp.asarray(z, self.dtype),
+            jnp.asarray(xRef, self.dtype),
+            self.policy_params,
+        )
+        self.solverTime = time.perf_counter() - t0
+        self.last = res
+        self.xPred = np.asarray(res.xPred)
+        self.uPred = np.asarray(res.uPred)
+        self.feasible = int(res.feasible)
+        return self.uPred[0]
+
+    def BT2array(self):
+        """Per-branch (xtraj, ztraj, utraj, w) with the parent's last point
+        prepended — reference ``BT2array`` (``MPC_branch.py:444-459``)."""
+        topo = self.topo
+        res = self.last
+        x = np.asarray(res.xPred)
+        z = np.asarray(res.z)
+        u = np.asarray(res.uPred)
+        w = np.asarray(res.w)
+        xtraj, ztraj, utraj, ws = [], [], [], []
+        for b in range(1, topo.n_branches):
+            par = topo.parent[b]
+            ox, ou, l = topo.x_off[b], topo.u_off[b], topo.blen[b]
+            pox, pou, pl = topo.x_off[par], topo.u_off[par], topo.blen[par]
+            xtraj.append(np.vstack([x[pox + pl - 1], x[ox:ox + l]]))
+            ztraj.append(np.vstack([z[pou + pl - 1], z[ou:ou + l]]))
+            utraj.append(np.vstack([u[pou + pl - 1], u[ou:ou + l]]))
+            ws.append(w[b])
+        return xtraj, ztraj, utraj, ws
+
+
+class BranchMPCProx(BranchMPC):
+    variant = "prox"

@@ -1,0 +1,91 @@
+"""Scale-out: batched and mesh-sharded branch-MPC ensembles.
+
+The reference is strictly serial single-process Python (SURVEY.md §2.4); all
+parallelism here is new capability. The unit of scaling is the *scenario tree*:
+per-tree math is tiny (n ≤ 4), so throughput comes from batching thousands of
+independent trees per chip (`jax.vmap`) and sharding that batch across the
+device mesh (`shard_map` over a data-parallel axis, with ICI collectives for
+ensemble metrics). This is the "pod-scale batched ensemble" configuration of
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from belief_planning_tpu.controllers.branch_mpc import make_branch_mpc_step
+from belief_planning_tpu.solvers.tree_qp import ADMMConfig
+
+
+def make_mesh(axis_sizes: Tuple[int, ...], axis_names: Tuple[str, ...] = ("dp", "mp"),
+              devices=None) -> Mesh:
+    """Create a device mesh. For ensembles the batch shards over every axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    devices = devices[: int(np.prod(axis_sizes))].reshape(axis_sizes)
+    return Mesh(devices, axis_names)
+
+
+def make_batched_step(model, params, variant="prox",
+                      admm: ADMMConfig = ADMMConfig(rho=5.0, iters=200,
+                                                    rho_update_every=50,
+                                                    polish_iters=30)):
+    """vmapped single-chip ensemble step.
+
+    Returns (topo, init_carry_batched, step) where
+    ``step(carrys, xs, zs, xRefs, policy_params) -> (carrys, results)`` maps over
+    the leading batch axis of carrys/xs/zs/xRefs (policy params broadcast).
+    """
+    topo, init_carry, step = make_branch_mpc_step(model, params, variant, admm)
+    vstep = jax.vmap(step, in_axes=(0, 0, 0, 0, None))
+
+    def init_batched(batch: int, dtype=jnp.float32):
+        c = init_carry(dtype)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), c)
+
+    return topo, init_batched, vstep
+
+
+def make_sharded_ensemble_step(model, params, mesh: Mesh, variant="prox",
+                               admm: ADMMConfig = ADMMConfig(rho=5.0, iters=200,
+                                                             rho_update_every=50,
+                                                             polish_iters=30)):
+    """Mesh-sharded ensemble step via ``shard_map``.
+
+    The batch axis is sharded over *all* mesh axes; per-step ensemble metrics
+    (feasible fraction, worst primal residual) are reduced across the mesh with
+    ``psum``/``pmax`` over ICI. Returns (topo, init_batched, sharded_step).
+    """
+    topo, init_batched, vstep = make_batched_step(model, params, variant, admm)
+    axes = mesh.axis_names
+
+    def step_local(carrys, xs, zs, xRefs, policy_params):
+        carrys, res = vstep(carrys, xs, zs, xRefs, policy_params)
+        feas = jnp.sum(res.feasible.astype(jnp.float32))
+        count = jnp.asarray(xs.shape[0], jnp.float32)
+        for ax in axes:
+            feas = jax.lax.psum(feas, ax)
+            count = jax.lax.psum(count, ax)
+        worst = jnp.max(res.prim_res)
+        for ax in axes:
+            worst = jax.lax.pmax(worst, ax)
+        metrics = {"feasible_frac": feas / count, "worst_prim_res": worst}
+        return carrys, res.uPred, metrics
+
+    spec = P(axes)      # batch dim sharded over every mesh axis
+    repl = P()          # fully replicated
+    sharded = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, repl),
+            out_specs=(spec, spec, repl),
+            check_vma=False,
+        )
+    )
+    return topo, init_batched, sharded

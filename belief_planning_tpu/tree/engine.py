@@ -73,6 +73,14 @@ def shift_warm_start(topo: TreeTopology, u_prev, p_prev):
     return u_prev[src]
 
 
+def _f32_precision(fn):
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+
+@_f32_precision
 def build_tree(model, topo: TreeTopology, x, z, u_lin, policy_params) -> TreeState:
     """Build/refresh the full tree from the measured states and warm-start inputs.
 

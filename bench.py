@@ -1,0 +1,84 @@
+"""Benchmark: batched branch-MPC solves/s on one chip (3-branch highway overtake).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: BASELINE.json north-star is ≥10,000 branch-MPC solves/s aggregate on a
+TPU v5e-16 → 625 solves/s/chip. vs_baseline = measured solves/s/chip ÷ 625.
+
+The measured step is the full receding-horizon hot path per scenario tree:
+warm-start shift → tree build (rollouts + linearization + collision rows) →
+stage-cost assembly → Riccati factorization → ADMM iterations (+ active-set
+polish) — identical to the solve used by the closed-loop environments and
+parity-tested against the NumPy oracle.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from belief_planning_tpu.controllers.branch_mpc import make_branch_mpc_step
+    from belief_planning_tpu.models.policies import highway_policy_set
+    from belief_planning_tpu.models.predictive import highway_model
+    from belief_planning_tpu.presets import init_branch_mpc
+    from belief_planning_tpu.solvers.tree_qp import ADMMConfig
+    from belief_planning_tpu.utils.config import BranchConstants
+
+    # reference overtake configuration (main_branch.py:24-48)
+    N, NB, n, d = 8, 2, 4, 2
+    dt = 0.1
+    cons = BranchConstants(s1=2, s2=3, c2=0.5, tran_diag=0.3, alpha=1, R=1.2,
+                           am=6.0, rm=0.3, J_c=20, s_c=1, ylb=0., yub=7.2,
+                           L=4, W=2.5, col_alpha=5, Kpsi=0.1)
+    xRef = np.array([0.5, 1.8, 15.0, 0.0])
+    pset = highway_policy_set(cons, xRef)
+    model = highway_model(cons, pset, N=N, dt=dt)
+    params = init_branch_mpc(n, d, N, NB, xRef, am=6.0, rm=0.3, N_lane=4, W=cons.W)
+
+    admm = ADMMConfig()   # tuned defaults: rho=5, α=1.6, 200 iters + 30 polish
+    topo, init_carry, step = make_branch_mpc_step(model, params, "prox", admm)
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        np.array([0.0, 1.8, 20.0, 0.0]) + rng.normal(0, 0.2, (B, 4)), dtype)
+    zs = jnp.asarray(
+        np.array([12.0, 1.8, 17.0, 0.0]) + rng.normal(0, 0.5, (B, 4)), dtype)
+    xRefs = jnp.asarray(np.tile(np.array([0., 1.8, 18., 0.]), (B, 1)), dtype)
+    c = init_carry(dtype)
+    carrys = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+
+    # warm-up / compile + one real warm-started step
+    carrys, res = vstep(carrys, xs, zs, xRefs, pset.params)
+    jax.block_until_ready(res.uPred)
+
+    # steady-state: timed warm-started receding-horizon steps
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carrys, res = vstep(carrys, xs, zs, xRefs, pset.params)
+    jax.block_until_ready(res.uPred)
+    dt_wall = (time.perf_counter() - t0) / iters
+    solves_per_sec = B / dt_wall
+
+    baseline = 10000.0 / 16.0   # north-star aggregate / v5e-16 chips
+    print(json.dumps({
+        "metric": "branch_mpc_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
