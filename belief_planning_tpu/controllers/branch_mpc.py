@@ -108,6 +108,24 @@ def make_branch_mpc_step(
     return topo, init_carry, step
 
 
+
+
+def _cast_pytree(tree, dtype):
+    """Cast floating leaves of a policy-param pytree to the controller dtype."""
+    import jax.numpy as _jnp
+
+    def cast(a):
+        if a is None:
+            return None
+        arr = _jnp.asarray(a)
+        if _jnp.issubdtype(arr.dtype, _jnp.floating):
+            return arr.astype(dtype)
+        return arr
+
+    import jax as _jax
+    return _jax.tree.map(cast, tree)
+
+
 class BranchMPC:
     """Stateful wrapper mirroring the reference controller API
     (``solve(x, z, xRef) → uPred/xPred/feasible``, plus ``BT2array`` for viz).
@@ -165,7 +183,7 @@ class BranchMPC:
             jnp.asarray(x, self.dtype),
             jnp.asarray(z, self.dtype),
             jnp.asarray(xRef, self.dtype),
-            self.policy_params,
+            _cast_pytree(self.policy_params, self.dtype),
         )
         self.solverTime = time.perf_counter() - t0
         self.last = res

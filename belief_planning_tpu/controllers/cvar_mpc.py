@@ -1,0 +1,185 @@
+"""Nested-CVaR branch-MPC controller.
+
+TPU-native equivalent of the reference ``BranchMPC_CVaR`` (``MPC_branch.py:1598``):
+per receding-horizon step — warm-start shift, tree rebuild, structured IPM solve
+of the nested-CVaR tree SOCP — as one jitted function. Supports the merge
+scenario's runtime state transform ``S`` and per-step ``bx`` override
+(``MPC_branch.py:2043-2059``); like the reference env, the merge path always
+passes an S matrix (identity on the main road), selected statically with
+``use_S``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from belief_planning_tpu.controllers.branch_mpc import MPCCarry
+from belief_planning_tpu.models.predictive import PredictiveModel
+from belief_planning_tpu.solvers.cvar import build_cvar_plan
+from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig, cvar_ipm_solve
+from belief_planning_tpu.tree.engine import build_tree, shift_warm_start
+from belief_planning_tpu.tree.topology import build_topology
+from belief_planning_tpu.utils.config import BranchMPCParams
+
+
+class CVaRSolveResult(NamedTuple):
+    xPred: Any
+    uPred: Any
+    slack: Any
+    risk: Any
+    w: Any
+    p: Any
+    z: Any
+    J: Any
+    gap: Any
+
+
+def make_cvar_mpc_step(
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    ralpha: float,
+    ipm: CVaRIPMConfig = CVaRIPMConfig(iters=80),
+    replicate_quirks: bool = True,
+    use_S: bool = False,
+):
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    cplan = build_cvar_plan(topo, replicate_quirks=replicate_quirks)
+    Fx, Fu, bu = params.Fx, params.Fu, params.bu
+    Q, R, Qslack = params.Q, params.R, params.Qslack
+
+    def init_carry(dtype=jnp.float32) -> MPCCarry:
+        return MPCCarry(
+            u_lin=jnp.zeros((topo.totalu, params.d), dtype),
+            p=jnp.zeros((topo.n_branches, topo.m), dtype),
+            old_input=jnp.zeros((params.d,), dtype),
+            initialized=jnp.asarray(False),
+        )
+
+    def step(carry: MPCCarry, x, z, xRef, policy_params, S=None, bx=None):
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        xRef = jnp.asarray(xRef)
+        bx_used = jnp.asarray(params.bx, x.dtype) if bx is None else jnp.asarray(bx, x.dtype)
+        shifted = shift_warm_start(topo, carry.u_lin, carry.p)
+        u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
+        ts = build_tree(model, topo, x, z, u_lin, policy_params)
+        x_f, u_f, s_f, r_f, aux = cvar_ipm_solve(
+            cplan, ts, Q, R, Qslack, xRef, ralpha,
+            Fx, bx_used, Fu, bu, x,
+            S=(jnp.asarray(S, x.dtype) if use_S else None),
+            cfg=ipm,
+        )
+        new_carry = MPCCarry(
+            u_lin=u_f, p=ts.p, old_input=u_f[0], initialized=jnp.asarray(True),
+        )
+        res = CVaRSolveResult(
+            xPred=x_f, uPred=u_f, slack=s_f, risk=r_f, w=ts.w, p=ts.p,
+            z=ts.z, J=aux["J"], gap=aux["gap"],
+        )
+        return new_carry, res
+
+    return topo, cplan, init_carry, step
+
+
+
+
+def _cast_pytree(tree, dtype):
+    """Cast floating leaves of a policy-param pytree to the controller dtype."""
+    import jax.numpy as _jnp
+
+    def cast(a):
+        if a is None:
+            return None
+        arr = _jnp.asarray(a)
+        if _jnp.issubdtype(arr.dtype, _jnp.floating):
+            return arr.astype(dtype)
+        return arr
+
+    import jax as _jax
+    return _jax.tree.map(cast, tree)
+
+
+class BranchMPCCVaR:
+    """Stateful wrapper mirroring the reference ``BranchMPC_CVaR`` API:
+    ``solve(x, z, xRef=None, S=None, Fx=None, bx=None)``."""
+
+    def __init__(
+        self,
+        mpcParameters: BranchMPCParams,
+        predictiveModel: PredictiveModel,
+        policy_params,
+        ralpha: float,
+        ipm: CVaRIPMConfig = CVaRIPMConfig(iters=80),
+        replicate_quirks: bool = True,
+        use_S: bool = False,
+        dtype=jnp.float64,
+    ):
+        self.params = mpcParameters
+        self.model = predictiveModel
+        self.policy_params = policy_params
+        self.ralpha = ralpha
+        self.use_S = use_S
+        self.dtype = dtype
+        self.topo, self.cplan, self._init_carry, step = make_cvar_mpc_step(
+            predictiveModel, mpcParameters, ralpha, ipm, replicate_quirks, use_S
+        )
+        self._step = jax.jit(step)
+        self.carry = self._init_carry(dtype)
+        self.N = mpcParameters.N
+        self.psimax = float(np.asarray(mpcParameters.bx).ravel()[2]) if (
+            np.asarray(mpcParameters.bx).size > 2) else 0.25
+        self.xPred = None
+        self.uPred = None
+        self.feasible = 1
+        self.last = None
+
+    @property
+    def predictiveModel(self):
+        return self.model
+
+    def update_policy_params(self, policy_params):
+        self.policy_params = policy_params
+
+    def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None):
+        if xRef is None:
+            xRef = self.params.xRef
+        args = dict(S=None, bx=None)
+        if self.use_S:
+            args["S"] = np.eye(self.params.n) if S is None else np.asarray(S)
+        if bx is not None:
+            args["bx"] = np.asarray(bx, float)
+        self.carry, res = self._step(
+            self.carry,
+            jnp.asarray(x, self.dtype),
+            jnp.asarray(z, self.dtype),
+            jnp.asarray(xRef, self.dtype),
+            _cast_pytree(self.policy_params, self.dtype),
+            **args,
+        )
+        self.last = res
+        self.xPred = np.asarray(res.xPred)
+        self.uPred = np.asarray(res.uPred)
+        self.feasible = 1
+        return self.uPred[0]
+
+    def BT2array(self):
+        topo = self.topo
+        res = self.last
+        x = np.asarray(res.xPred)
+        z = np.asarray(res.z)
+        u = np.asarray(res.uPred)
+        w = np.asarray(res.w)
+        xtraj, ztraj, utraj, ws = [], [], [], []
+        for b in range(1, topo.n_branches):
+            par = topo.parent[b]
+            ox, ou, l = topo.x_off[b], topo.u_off[b], topo.blen[b]
+            pox, pou, pl = topo.x_off[par], topo.u_off[par], topo.blen[par]
+            xtraj.append(np.vstack([x[pox + pl - 1], x[ox:ox + l]]))
+            ztraj.append(np.vstack([z[pou + pl - 1], z[ou:ou + l]]))
+            utraj.append(np.vstack([u[pou + pl - 1], u[ou:ou + l]]))
+            ws.append(w[b])
+        return xtraj, ztraj, utraj, ws

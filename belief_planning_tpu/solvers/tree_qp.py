@@ -153,7 +153,14 @@ def assemble_stage_cost(
     xRef = jnp.asarray(xRef, dtype)
     OldInput = jnp.asarray(OldInput, dtype)
     Qslack = jnp.asarray(Qslack, dtype)
-    dQ = Q * (3.0 if variant == "prox" else 0.5)
+    # 'robust' = the single-trajectory benchmark controller: prox assembly with
+    # dQ=0 and the corrected (quirk-free) rate cost (MPC_branch.py:1540-1569)
+    if variant == "robust":
+        dQ = Q * 0.0
+        variant = "prox"
+        replicate_quirks = False
+    else:
+        dQ = Q * (3.0 if variant == "prox" else 0.5)
     dRm = jnp.diag(dR)
 
     ub = np.asarray(topo.unode_branch)
@@ -203,7 +210,7 @@ def assemble_stage_cost(
         #   leaf-last:           w·R  (overwrite quirk) or w(R+dR) corrected
         Ru2 = 2.0 * w_u[:, None, None] * (R + 2.0 * dRm)[None]
         Ru2 = Ru2.at[0].set(2.0 * (R + dRm))              # root (w=1)
-        if replicate_quirks:
+        if replicate_quirks and variant == "prox":
             mask_ll = jnp.asarray(is_last & leaf_u, dtype=dtype)[:, None, None]
             Ru2 = Ru2 + mask_ll * (2.0 * w_u[:, None, None] * (-2.0 * dRm)[None])
         else:
@@ -375,10 +382,13 @@ def tree_lqr_factor(plan: StagePlan, cost: StageCost, ts: TreeState):
 
 
 @_f32_precision
-def tree_lqr_linear(plan: StagePlan, fac: Factors, qx_eff, qu_eff, qterm_eff):
+def tree_lqr_linear(plan: StagePlan, fac: Factors, qx_eff, qu_eff, qterm_eff,
+                    affine: bool = True):
     """Backward linear sweep: per-stage feedforward k_j given current linear costs.
 
     qx_eff: (totalu, n), qu_eff: (totalu, d), qterm_eff: (n_leaves, n).
+    ``affine=False`` drops the dynamics-constant (C) contributions — the pure
+    linear-response mode used for Woodbury columns in the CVaR solver.
     Returns kff (totalu, d)."""
     topo = plan.topo
     n, d, m = topo.n, topo.d, topo.m
@@ -400,14 +410,19 @@ def tree_lqr_linear(plan: StagePlan, fac: Factors, qx_eff, qu_eff, qterm_eff):
             p_next = carry
             (qx, qu, K, Hinv, Acl, vec1, gu, B) = inp
             # l_u = qu + gu + Gᵀ p' ;  Gᵀ p' = Bᵀ p'_x + p'_u
-            l_u = qu + gu + jnp.einsum("bnm,bn->bm", B, p_next[:, :n]) + p_next[:, n:]
+            l_u = qu + jnp.einsum("bnm,bn->bm", B, p_next[:, :n]) + p_next[:, n:]
+            if affine:
+                l_u = l_u + gu
             kff = -jnp.einsum("bmk,bk->bm", Hinv, l_u)
             # p = [qx;0] + vec1 + Fᵀp' + Kᵀ l_u ; Fᵀp' = [Aᵀ p'_x; 0] — but
             # Aᵀ p'_x + Kᵀ... use Acl identity: Fᵀp' + KᵀGᵀp' = Aclᵀ p'.
             # p = [qx;0] + vec1 + Aclᵀ p' + Kᵀ(qu + gu)
             p = jnp.concatenate([qx, jnp.zeros((qx.shape[0], d), qx.dtype)], axis=1)
-            p = p + vec1 + jnp.einsum("bnm,bn->bm", Acl, p_next)
-            p = p + jnp.einsum("bmk,bm->bk", K, qu + gu)
+            p = p + jnp.einsum("bnm,bn->bm", Acl, p_next)
+            if affine:
+                p = p + vec1 + jnp.einsum("bmk,bm->bk", K, qu + gu)
+            else:
+                p = p + jnp.einsum("bmk,bm->bk", K, qu)
             return p, kff
 
         rev = si[::-1]
@@ -422,9 +437,10 @@ def tree_lqr_linear(plan: StagePlan, fac: Factors, qx_eff, qu_eff, qterm_eff):
 
 
 @_f32_precision
-def tree_lqr_forward(plan: StagePlan, fac: Factors, kff, x0, u_old):
+def tree_lqr_forward(plan: StagePlan, fac: Factors, kff, x0, u_old,
+                     affine: bool = True):
     """Forward rollout: ξ_root = (x0, OldInput); returns (x_nodes (totalx, n),
-    u (totalu, d))."""
+    u (totalu, d)). ``affine=False`` drops the dynamics constants (response mode)."""
     topo = plan.topo
     n, d, m = topo.n, topo.d, topo.m
     dtype = x0.dtype
@@ -444,7 +460,8 @@ def tree_lqr_forward(plan: StagePlan, fac: Factors, kff, x0, u_old):
             u = jnp.einsum("bmk,bk->bm", K, xi) + kf
             # ξ' = Acl ξ + G k + h_full   (Acl ξ already contains the GKξ part)
             xi_next = jnp.einsum("bnk,bk->bn", Acl, xi)
-            xi_next = xi_next.at[:, :n].add(h)
+            if affine:
+                xi_next = xi_next.at[:, :n].add(h)
             xi_next = xi_next + jnp.concatenate(
                 [jnp.einsum("bnm,bm->bn", B, kf), kf], axis=1
             )
@@ -508,6 +525,8 @@ def admm_solve(
     cfg: ADMMConfig = ADMMConfig(),
     init: ADMMState = None,
     w_stage=None,
+    Fxc_override=None,
+    b1_override=None,
 ):
     """Solve the tree QP. Returns (x_nodes, u, s, state, info dict).
 
@@ -528,16 +547,23 @@ def admm_solve(
     Fu = jnp.asarray(Fu, dtype)
     bu = jnp.asarray(bu, dtype)
     nFx = Fx.shape[0]
-    Nc = nFx + 1
     nFu = Fu.shape[0]
 
-    # per-stage constraint rows: Fxc_j = [−dh_j; Fx], b1_j = [h0_j; bx]
-    Fxc = jnp.concatenate(
-        [-ts.dh[:, None, :], jnp.broadcast_to(Fx, (totalu, nFx, n))], axis=1
-    )                                                    # (totalu, Nc, n)
-    b1 = jnp.concatenate(
-        [ts.h0[:, None], jnp.broadcast_to(bx, (totalu, nFx))], axis=1
-    )                                                    # (totalu, Nc)
+    if Fxc_override is not None:
+        # caller-supplied per-stage state rows (robustMPC: Fx box + one
+        # collision row per scenario-tree node at that time step)
+        Fxc = jnp.asarray(Fxc_override, dtype)           # (totalu, Nc, n)
+        b1 = jnp.asarray(b1_override, dtype)             # (totalu, Nc)
+        Nc = Fxc.shape[1]
+    else:
+        Nc = nFx + 1
+        # per-stage constraint rows: Fxc_j = [−dh_j; Fx], b1_j = [h0_j; bx]
+        Fxc = jnp.concatenate(
+            [-ts.dh[:, None, :], jnp.broadcast_to(Fx, (totalu, nFx, n))], axis=1
+        )                                                # (totalu, Nc, n)
+        b1 = jnp.concatenate(
+            [ts.h0[:, None], jnp.broadcast_to(bx, (totalu, nFx))], axis=1
+        )                                                # (totalu, Nc)
 
     sigma = cfg.sigma
     cx = np.asarray(topo.cnode_x)
