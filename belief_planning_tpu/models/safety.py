@@ -30,14 +30,16 @@ def _expblend(dx, dy, alpha):
     return (dx * ex + dy * ey) / (ex + ey)
 
 
-def veh_col(x1, x2, size, alpha=1.0, clip: Optional[float] = None):
+def veh_col(x1, x2, size, alpha=1.0, clip: Optional[float] = None,
+            normalize: bool = False):
     """Smooth rectangle-collision margin between two vehicle states.
 
     ``dx = |X1−X2| − size[0]``, ``dy = |Y1−Y2| − size[1]``, blended with a soft max:
     positive iff the rectangles (inflated to ``size``) do not overlap on at least one
     axis. Reference ``veh_col`` (``highway_branch_dyn.py:223-254``); pass
     ``clip=5.0`` for the reference's numeric-path behavior, ``clip=None`` for the
-    symbolic path used inside the MPC.
+    symbolic path used inside the MPC. ``normalize=True`` divides each margin by
+    its size — the HMM-path variant (``HMM_backup_dyn.py:136-156``).
 
     ``x1, x2`` are states ``(..., ≥2)``; leading dims broadcast.
     """
@@ -45,6 +47,9 @@ def veh_col(x1, x2, size, alpha=1.0, clip: Optional[float] = None):
     x2 = jnp.asarray(x2)
     dx = jnp.abs(x1[..., 0] - x2[..., 0]) - size[0]
     dy = jnp.abs(x1[..., 1] - x2[..., 1]) - size[1]
+    if normalize:
+        dx = dx / size[0]
+        dy = dy / size[1]
     if clip is not None:
         dx = jnp.clip(dx, -clip, clip)
         dy = jnp.clip(dy, -clip, clip)
