@@ -4,7 +4,8 @@ A from-scratch JAX/XLA implementation of scenario-tree stochastic MPC with the
 capability surface of the reference `Gavinli-lgf/belief-planning` (see SURVEY.md):
 backup-policy scenario trees, probability-weighted trajectory-tree QPs (plain /
 proximal / robust variants), nested-CVaR SOCPs, HMM belief filtering, and the
-highway / quadruped closed-loop environments — all batched and jit-compiled for TPU.
+highway / merge / quadruped closed-loop environments — batched and jit-compiled
+for TPU, scaling over device meshes.
 """
 
 __version__ = "0.1.0"

@@ -31,18 +31,25 @@ from belief_planning_tpu.solvers.tree_qp import (
     assemble_stage_cost,
     build_stage_plan,
 )
-from belief_planning_tpu.tree.engine import build_tree, shift_warm_start
+from belief_planning_tpu.tree.engine import build_tree, shift_warm_start, warm_shift_indices
 from belief_planning_tpu.tree.topology import TreeTopology, build_topology
 from belief_planning_tpu.utils.config import BranchMPCParams
 
 
 class MPCCarry(NamedTuple):
-    """Warm-start state carried between receding-horizon steps."""
+    """Warm-start state carried between receding-horizon steps.
+
+    Beyond the reference's input shift, the per-stage ADMM duals are also
+    shifted and carried — steady-state receding-horizon solves then start with
+    near-optimal multipliers and need far fewer iterations."""
 
     u_lin: Any        # (totalu, d) previous solution inputs
     p: Any            # (B, m) previous branch probabilities (for the argmax shift)
     old_input: Any    # (d,) previously applied input
     initialized: Any  # () bool — False on the first solve (inittree semantics)
+    y1: Any = None    # (totalu, Nc) state-row duals
+    y2: Any = None    # (totalu, nFu) input-row duals
+    y3: Any = None    # (totalu, Nc) slack-positivity duals
 
 
 class SolveResult(NamedTuple):
@@ -55,59 +62,6 @@ class SolveResult(NamedTuple):
     z: Any            # (totalu, n) obstacle nodes
     prim_res: Any     # () ADMM primal residual
     feasible: Any     # () bool
-
-
-def make_branch_mpc_step(
-    model: PredictiveModel,
-    params: BranchMPCParams,
-    variant: str = "prox",
-    admm: ADMMConfig = ADMMConfig(),
-    replicate_quirks: bool = True,
-    feas_tol: float = 1e-3,
-):
-    """Build (topo, init_carry_fn, step_fn) for one controller configuration."""
-    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
-    plan = build_stage_plan(topo)
-    Fx, bx = params.Fx, params.bx
-    Fu, bu = params.Fu, params.bu
-    Q, R, Qf, dR, Qslack = params.Q, params.R, params.Qf, params.dR, params.Qslack
-
-    def init_carry(dtype=jnp.float32) -> MPCCarry:
-        return MPCCarry(
-            u_lin=jnp.zeros((topo.totalu, params.d), dtype),
-            p=jnp.zeros((topo.n_branches, topo.m), dtype),
-            old_input=jnp.zeros((params.d,), dtype),
-            initialized=jnp.asarray(False),
-        )
-
-    def step(carry: MPCCarry, x, z, xRef, policy_params) -> Tuple[MPCCarry, SolveResult]:
-        x = jnp.asarray(x)
-        z = jnp.asarray(z)
-        xRef = jnp.asarray(xRef)
-        shifted = shift_warm_start(topo, carry.u_lin, carry.p)
-        u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
-        ts = build_tree(model, topo, x, z, u_lin, policy_params)
-        cost = assemble_stage_cost(
-            topo, ts, Q, R, Qf, dR, Qslack, xRef, carry.old_input,
-            variant=variant, replicate_quirks=replicate_quirks,
-        )
-        x_nodes, u, s, st, info = admm_solve(
-            plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, admm,
-        )
-        new_carry = MPCCarry(
-            u_lin=u, p=ts.p, old_input=u[0], initialized=jnp.asarray(True),
-        )
-        res = SolveResult(
-            xPred=x_nodes, uPred=u, slack=s, w=ts.w, p=ts.p,
-            x_lin=ts.x_lin, z=ts.z,
-            prim_res=info["prim_res"],
-            feasible=info["prim_res"] < feas_tol,
-        )
-        return new_carry, res
-
-    return topo, init_carry, step
-
-
 
 
 def _cast_pytree(tree, dtype):
@@ -124,6 +78,76 @@ def _cast_pytree(tree, dtype):
 
     import jax as _jax
     return _jax.tree.map(cast, tree)
+
+def make_branch_mpc_step(
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    variant: str = "prox",
+    admm: ADMMConfig = ADMMConfig(),
+    replicate_quirks: bool = True,
+    feas_tol: float = 1e-3,
+):
+    """Build (topo, init_carry_fn, step_fn) for one controller configuration."""
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    plan = build_stage_plan(topo)
+    Fx, bx = params.Fx, params.bx
+    Fu, bu = params.Fu, params.bu
+    Q, R, Qf, dR, Qslack = params.Q, params.R, params.Qf, params.dR, params.Qslack
+
+    Nc = Fx.shape[0] + 1
+    nFu = Fu.shape[0]
+
+    def init_carry(dtype=jnp.float32) -> MPCCarry:
+        return MPCCarry(
+            u_lin=jnp.zeros((topo.totalu, params.d), dtype),
+            p=jnp.zeros((topo.n_branches, topo.m), dtype),
+            old_input=jnp.zeros((params.d,), dtype),
+            initialized=jnp.asarray(False),
+            y1=jnp.zeros((topo.totalu, Nc), dtype),
+            y2=jnp.zeros((topo.totalu, nFu), dtype),
+            y3=jnp.zeros((topo.totalu, Nc), dtype),
+        )
+
+    def step(carry: MPCCarry, x, z, xRef, policy_params) -> Tuple[MPCCarry, SolveResult]:
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        xRef = jnp.asarray(xRef)
+        policy_params = _cast_pytree(policy_params, x.dtype)
+        src_idx = warm_shift_indices(topo, carry.p)
+        init_mask = carry.initialized
+        u_lin = jnp.where(init_mask, carry.u_lin[src_idx],
+                          jnp.zeros_like(carry.u_lin))
+        ts = build_tree(model, topo, x, z, u_lin, policy_params)
+        cost = assemble_stage_cost(
+            topo, ts, Q, R, Qf, dR, Qslack, xRef, carry.old_input,
+            variant=variant, replicate_quirks=replicate_quirks,
+        )
+        warm_duals = (
+            jnp.where(init_mask, carry.y1[src_idx], 0.0),
+            jnp.where(init_mask, carry.y2[src_idx], 0.0),
+            jnp.where(init_mask, carry.y3[src_idx], 0.0),
+        )
+        x_nodes, u, s, st, info = admm_solve(
+            plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, admm,
+            warm_duals=warm_duals,
+        )
+        new_carry = MPCCarry(
+            u_lin=u, p=ts.p, old_input=u[0], initialized=jnp.asarray(True),
+            y1=st.y1, y2=st.y2, y3=st.y3,
+        )
+        res = SolveResult(
+            xPred=x_nodes, uPred=u, slack=s, w=ts.w, p=ts.p,
+            x_lin=ts.x_lin, z=ts.z,
+            prim_res=info["prim_res"],
+            feasible=info["prim_res"] < feas_tol,
+        )
+        return new_carry, res
+
+    return topo, init_carry, step
+
+
+
+
 
 
 class BranchMPC:

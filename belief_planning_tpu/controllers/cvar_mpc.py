@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from belief_planning_tpu.controllers.branch_mpc import MPCCarry
+from belief_planning_tpu.controllers.branch_mpc import MPCCarry, _cast_pytree
 from belief_planning_tpu.models.predictive import PredictiveModel
 from belief_planning_tpu.solvers.cvar import build_cvar_plan
 from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig, cvar_ipm_solve
@@ -63,6 +63,7 @@ def make_cvar_mpc_step(
         x = jnp.asarray(x)
         z = jnp.asarray(z)
         xRef = jnp.asarray(xRef)
+        policy_params = _cast_pytree(policy_params, x.dtype)
         bx_used = jnp.asarray(params.bx, x.dtype) if bx is None else jnp.asarray(bx, x.dtype)
         shifted = shift_warm_start(topo, carry.u_lin, carry.p)
         u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
@@ -86,21 +87,6 @@ def make_cvar_mpc_step(
 
 
 
-
-def _cast_pytree(tree, dtype):
-    """Cast floating leaves of a policy-param pytree to the controller dtype."""
-    import jax.numpy as _jnp
-
-    def cast(a):
-        if a is None:
-            return None
-        arr = _jnp.asarray(a)
-        if _jnp.issubdtype(arr.dtype, _jnp.floating):
-            return arr.astype(dtype)
-        return arr
-
-    import jax as _jax
-    return _jax.tree.map(cast, tree)
 
 
 class BranchMPCCVaR:

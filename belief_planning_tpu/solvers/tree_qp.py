@@ -527,6 +527,7 @@ def admm_solve(
     w_stage=None,
     Fxc_override=None,
     b1_override=None,
+    warm_duals=None,
 ):
     """Solve the tree QP. Returns (x_nodes, u, s, state, info dict).
 
@@ -611,11 +612,17 @@ def admm_solve(
         s_init = jnp.zeros((totalu, Nc), dtype)
         z1 = jnp.einsum("brn,bn->br", Fxc, x_init[cx]) - s_init
         z2 = jnp.einsum("rn,bn->br", Fu, u_init)
+        if warm_duals is not None:
+            y1_0, y2_0, y3_0 = warm_duals
+        else:
+            y1_0 = jnp.zeros_like(z1)
+            y2_0 = jnp.zeros_like(z2)
+            y3_0 = jnp.zeros_like(s_init)
         state = ADMMState(
             x=x_init, u=u_init, s=s_init,
             z1=jnp.minimum(z1, b1), z2=jnp.minimum(z2, bu[None]),
             z3=jnp.zeros_like(s_init),
-            y1=jnp.zeros_like(z1), y2=jnp.zeros_like(z2), y3=jnp.zeros_like(s_init),
+            y1=y1_0, y2=y2_0, y3=y3_0,
             theta=theta0,
         )
     else:

@@ -45,22 +45,18 @@ class TreeState(NamedTuple):
     dh: Any      # (totalu, n) collision gradient
 
 
-def shift_warm_start(topo: TreeTopology, u_prev, p_prev):
-    """Warm-start input shift (reference ``updatetree``, ``MPC_branch.py:225-234``).
-
-    Within each branch inputs shift left by one; the freed last slot takes the
-    first input of the argmax-probability child (non-leaf) or repeats the old last
-    input (leaf; the reference's ``utraj[-1] = utraj[-2]`` after the shift equals
-    the previous last input).
-    """
-    u_prev = jnp.asarray(u_prev)
+def warm_shift_indices(topo: TreeTopology, p_prev):
+    """Per-stage source indices of the warm-start shift (reference
+    ``updatetree``, ``MPC_branch.py:225-234``): within each branch shift left by
+    one; the freed last slot takes the argmax-probability child's first stage
+    (non-leaf) or repeats itself (leaf). Also used to shift per-stage ADMM duals
+    across receding-horizon steps."""
     steps = jnp.asarray(topo.unode_step)
     branch = jnp.asarray(topo.unode_branch)
     blen = jnp.asarray(topo.blen)[branch]
     is_leaf_b = jnp.asarray(topo.is_leaf)
     child_first_u = jnp.asarray(topo.u_off)[jnp.asarray(topo.children)]  # (B, m)
 
-    # per-branch source for the last slot
     best_child = jnp.argmax(p_prev, axis=1)                              # (B,)
     src_nonleaf = jnp.take_along_axis(child_first_u, best_child[:, None], axis=1)[:, 0]
     idx = jnp.arange(topo.totalu)
@@ -70,7 +66,12 @@ def shift_warm_start(topo: TreeTopology, u_prev, p_prev):
         jnp.where(is_leaf_b[branch], idx, src_nonleaf[branch]),
         jnp.minimum(idx + 1, topo.totalu - 1),
     )
-    return u_prev[src]
+    return src
+
+
+def shift_warm_start(topo: TreeTopology, u_prev, p_prev):
+    """Warm-start input shift (see :func:`warm_shift_indices`)."""
+    return jnp.asarray(u_prev)[warm_shift_indices(topo, p_prev)]
 
 
 def _f32_precision(fn):
