@@ -362,7 +362,7 @@ def tree_lqr_factor(plan: StagePlan, cost: StageCost, ts: TreeState):
             ts.Bm[sx[::-1]],
             ts.C[sx[::-1]],
         )
-        P_head, outs = jax.lax.scan(step, W_P, inputs)
+        P_head, outs = jax.lax.scan(step, W_P, inputs, unroll=True)
         K_s, Hinv_s, Acl_s, vec1_s, gu_s = outs      # (l, nb, ...) reversed order
         rev = si[::-1]
         K_all = K_all.at[rev].set(K_s)
@@ -430,7 +430,7 @@ def tree_lqr_linear(plan: StagePlan, fac: Factors, qx_eff, qu_eff, qterm_eff,
             qx_eff[rev], qu_eff[rev], fac.K[rev], fac.Hinv[rev],
             fac.Acl[rev], fac.vec1[rev], fac.gu[rev], fac.Bmat[rev],
         )
-        p_head, kff_s = jax.lax.scan(step, p0, inputs)
+        p_head, kff_s = jax.lax.scan(step, p0, inputs, unroll=True)
         kff_all = kff_all.at[rev].set(kff_s)
         p_head_next = p_head
     return kff_all
@@ -468,7 +468,7 @@ def tree_lqr_forward(plan: StagePlan, fac: Factors, kff, x0, u_old,
             return xi_next, (u, xi[:, :n])
 
         inputs = (fac.K[si], kff[si], fac.Acl[si], fac.Bmat[si], fac.hvec[si])
-        xi_end, (u_s, xnode_s) = jax.lax.scan(step, xi, inputs)
+        xi_end, (u_s, xnode_s) = jax.lax.scan(step, xi, inputs, unroll=True)
         u_all = u_all.at[si].set(u_s)
         x_nodes = x_nodes.at[xniv].set(xnode_s)
         if k < topo.NB:
