@@ -31,6 +31,7 @@ from belief_planning_tpu.solvers.tree_qp import (
     assemble_stage_cost,
     build_stage_plan,
 )
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig, qp_ipm_solve
 from belief_planning_tpu.tree.engine import build_tree, shift_warm_start, warm_shift_indices
 from belief_planning_tpu.tree.topology import TreeTopology, build_topology
 from belief_planning_tpu.utils.config import BranchMPCParams
@@ -86,8 +87,13 @@ def make_branch_mpc_step(
     admm: ADMMConfig = ADMMConfig(),
     replicate_quirks: bool = True,
     feas_tol: float = 1e-3,
+    solver: str = "ipm",
+    ipm: QPIPMConfig = QPIPMConfig(),
 ):
-    """Build (topo, init_carry_fn, step_fn) for one controller configuration."""
+    """Build (topo, init_carry_fn, step_fn) for one controller configuration.
+
+    ``solver``: "ipm" (default — structured Mehrotra IPM, ~35 iterations at
+    machine precision) or "admm" (OSQP-equivalent numerics)."""
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
     plan = build_stage_plan(topo)
     Fx, bx = params.Fx, params.bx
@@ -122,18 +128,25 @@ def make_branch_mpc_step(
             topo, ts, Q, R, Qf, dR, Qslack, xRef, carry.old_input,
             variant=variant, replicate_quirks=replicate_quirks,
         )
-        warm_duals = (
-            jnp.where(init_mask, carry.y1[src_idx], 0.0),
-            jnp.where(init_mask, carry.y2[src_idx], 0.0),
-            jnp.where(init_mask, carry.y3[src_idx], 0.0),
-        )
-        x_nodes, u, s, st, info = admm_solve(
-            plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, admm,
-            warm_duals=warm_duals,
-        )
+        if solver == "ipm":
+            x_nodes, u, s, info = qp_ipm_solve(
+                plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, ipm,
+            )
+            y1n, y2n, y3n = carry.y1, carry.y2, carry.y3
+        else:
+            warm_duals = (
+                jnp.where(init_mask, carry.y1[src_idx], 0.0),
+                jnp.where(init_mask, carry.y2[src_idx], 0.0),
+                jnp.where(init_mask, carry.y3[src_idx], 0.0),
+            )
+            x_nodes, u, s, st, info = admm_solve(
+                plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, admm,
+                warm_duals=warm_duals,
+            )
+            y1n, y2n, y3n = st.y1, st.y2, st.y3
         new_carry = MPCCarry(
             u_lin=u, p=ts.p, old_input=u[0], initialized=jnp.asarray(True),
-            y1=st.y1, y2=st.y2, y3=st.y3,
+            y1=y1n, y2=y2n, y3=y3n,
         )
         res = SolveResult(
             xPred=x_nodes, uPred=u, slack=s, w=ts.w, p=ts.p,
@@ -168,13 +181,16 @@ class BranchMPC:
         admm: ADMMConfig = ADMMConfig(),
         replicate_quirks: bool = True,
         dtype=jnp.float64,
+        solver: str = "ipm",
+        ipm: QPIPMConfig = QPIPMConfig(),
     ):
         self.params = mpcParameters
         self.model = predictiveModel
         self.policy_params = policy_params
         self.dtype = dtype
         self.topo, self._init_carry, step = make_branch_mpc_step(
-            predictiveModel, mpcParameters, self.variant, admm, replicate_quirks
+            predictiveModel, mpcParameters, self.variant, admm, replicate_quirks,
+            solver=solver, ipm=ipm,
         )
         self._step = jax.jit(step)
         self.carry = self._init_carry(dtype)

@@ -208,13 +208,14 @@ def cvar_ipm_solve(
     lq = mu0 / sq
 
     mtot = float(sl1.size + sl2.size + sl3.size + nsgn + K)
+    w_max_eff = cfg.w_max if dtype == jnp.float64 else min(cfg.w_max, 1e6)
 
     def newton_factor(x_nodes, u, s, lam1_, sl1_, lam2_, sl2_, lam3_, sl3_,
                       lam4_, sl4_, lq_, sq_):
         """Factor the KKT: per-stage quadratics + tree factor + risk block +
         Woodbury columns for the cone-gradient outer products."""
         # per-stage cone weights: λ of the cone owning the stage; root → 1 (obj)
-        clampw = lambda w: jnp.minimum(w, cfg.w_max)
+        clampw = lambda w: jnp.minimum(w, w_max_eff)
         lam_stage = jnp.where(
             jnp.asarray(cone_of_stage >= 0),
             lq_[jnp.maximum(jnp.asarray(cone_of_stage), 0)],
@@ -294,7 +295,7 @@ def cvar_ipm_solve(
             return out
 
         GtZ = jax.vmap(lambda a, b, c, e: gdot(a, b, c, e))(Zx, Zu, Zs, Zr)
-        wq = jnp.minimum(lq_ / sq_, cfg.w_max)
+        wq = jnp.minimum(lq_ / sq_, w_max_eff)
         # φ = (I − GᵀZ·diag(wq))⁻¹ gᵀa  per Woodbury on H0 + Σ wq_k g_k g_kᵀ
         Wm = jnp.linalg.inv(jnp.eye(K, dtype=dtype) - GtZ * wq[None, :])
 

@@ -54,6 +54,41 @@ def _f32_precision(fn):
             return fn(*a, **k)
     return wrapped
 
+
+
+def _small_inv(M):
+    """Closed-form inverse for batched tiny matrices (d ≤ 3): jnp.linalg.inv
+    lowers to a generic LU path that is painfully slow inside TPU loops."""
+    d = M.shape[-1]
+    if d == 1:
+        return 1.0 / M
+    if d == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        e = M[..., 1, 1]
+        det = a * e - b * c
+        inv = jnp.stack([
+            jnp.stack([e, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2)
+        return inv / det[..., None, None]
+    if d == 3:
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        e, f, g = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        h, i, j = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        A = f * j - g * i
+        B = -(e * j - g * h)
+        C = e * i - f * h
+        det = a * A + b * B + c * C
+        inv = jnp.stack([
+            jnp.stack([A, -(b * j - c * i), b * g - c * f], axis=-1),
+            jnp.stack([B, a * j - c * h, -(a * g - c * e)], axis=-1),
+            jnp.stack([C, -(a * i - b * h), a * f - b * e], axis=-1),
+        ], axis=-2)
+        return inv / det[..., None, None]
+    return jnp.linalg.inv(M)
+
 # ---------------------------------------------------------------------------
 # Static per-level index plan
 # ---------------------------------------------------------------------------
@@ -289,7 +324,7 @@ def _stage_step_quad(W_P, Qx2, Daa2, Dab2, Ru2, A, B, C, n, d):
     GtPF_x = jnp.einsum("bmn,bnk->bmk", GtPx, A)         # (nb, d, n)
     # L = Mᵀ + GᵀP'F ; M = [[0],[Dab]] → Mᵀ has Dabᵀ in the u_prev columns
     L = jnp.concatenate([GtPF_x, jnp.swapaxes(Dab2, 1, 2)], axis=2)  # (nb, d, nd)
-    Hinv = jnp.linalg.inv(Huu)
+    Hinv = _small_inv(Huu)
     K = -jnp.einsum("bmk,bkl->bml", Hinv, L)             # (nb, d, nd)
     # FᵀP'F = [[Aᵀ Pxx A, 0],[0,0]]
     AtPxxA = jnp.einsum("bnm,bnk,bkl->bml", A, Pxx, A)
