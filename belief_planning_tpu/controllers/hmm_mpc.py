@@ -33,6 +33,7 @@ from belief_planning_tpu.solvers.tree_qp import (
     assemble_stage_cost,
     build_stage_plan,
 )
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig, qp_ipm_solve
 from belief_planning_tpu.tree.engine import TreeState
 from belief_planning_tpu.tree.topology import build_topology
 from belief_planning_tpu.utils.config import MPCParams
@@ -55,7 +56,8 @@ class HMMSolveResult(NamedTuple):
 
 def make_hmm_mpc_step(model: HMMPredictiveModel, params: MPCParams,
                       admm: ADMMConfig = ADMMConfig(), thres: float = 0.1,
-                      feas_tol: float = 1e-3):
+                      feas_tol: float = 1e-3, solver: str = "ipm",
+                      ipm: QPIPMConfig = QPIPMConfig()):
     n_aug = model.n
     nx, d, N = model.nx, params.d, params.N
     M, m = model.M, model.m
@@ -139,10 +141,16 @@ def make_hmm_mpc_step(model: HMMPredictiveModel, params: MPCParams,
             topo, ts, Q, R, Qf, dR, Qslack, xRef_aug, carry.old_input,
             variant="robust",
         )
-        x_nodes, u, s, st, info = admm_solve(
-            plan, cost, ts, Fx, bx, Fu, bu, xb0, carry.old_input,
-            admm, Fxc_override=Fxc, b1_override=b1,
-        )
+        if solver == "ipm":
+            x_nodes, u, s, info = qp_ipm_solve(
+                plan, cost, ts, Fx, bx, Fu, bu, xb0, carry.old_input,
+                ipm, Fxc_override=Fxc, b1_override=b1,
+            )
+        else:
+            x_nodes, u, s, st, info = admm_solve(
+                plan, cost, ts, Fx, bx, Fu, bu, xb0, carry.old_input,
+                admm, Fxc_override=Fxc, b1_override=b1,
+            )
         new_carry = HMMCarry(
             uLin=jnp.concatenate([u[1:], u[-1:]], axis=0),
             old_input=u[0],

@@ -41,6 +41,7 @@ from belief_planning_tpu.solvers.tree_qp import (
     assemble_stage_cost,
     build_stage_plan,
 )
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig, qp_ipm_solve
 from belief_planning_tpu.tree.engine import TreeState, build_tree
 from belief_planning_tpu.tree.topology import build_topology
 from belief_planning_tpu.utils.config import BranchMPCParams
@@ -70,6 +71,8 @@ def make_robust_mpc_step(
     params: BranchMPCParams,
     admm: ADMMConfig = ADMMConfig(),
     feas_tol: float = 1e-3,
+    solver: str = "ipm",
+    ipm: QPIPMConfig = QPIPMConfig(),
 ):
     n, d, N, NB = params.n, params.d, params.N, params.NB
     m = model.m
@@ -164,10 +167,16 @@ def make_robust_mpc_step(
             topo_chain, ts_chain, Q, R, Qf, dR, Qslack, xRef, carry.old_input,
             variant="robust",
         )
-        x_nodes, u, s, st, info = admm_solve(
-            plan_chain, cost, ts_chain, Fx, bx, Fu, bu, x, carry.old_input,
-            admm, Fxc_override=Fxc, b1_override=b1,
-        )
+        if solver == "ipm":
+            x_nodes, u, s, info = qp_ipm_solve(
+                plan_chain, cost, ts_chain, Fx, bx, Fu, bu, x, carry.old_input,
+                ipm, Fxc_override=Fxc, b1_override=b1,
+            )
+        else:
+            x_nodes, u, s, st, info = admm_solve(
+                plan_chain, cost, ts_chain, Fx, bx, Fu, bu, x, carry.old_input,
+                admm, Fxc_override=Fxc, b1_override=b1,
+            )
         new_carry = RobustCarry(
             xLin=jnp.concatenate([x_nodes[1:], x_nodes[-1:]], axis=0),
             uLin=jnp.concatenate([u[1:], u[-1:]], axis=0),

@@ -17,9 +17,17 @@ Mehrotra predictor-corrector IPM whose Newton systems are solved structurally:
 - decision slacks s are eliminated per row; risk variables and the risk-
   recursion equalities (``Arisk``) live in a small dense KKT block.
 
-Per-iteration cost: one tree factorization + O(K) linear sweeps. ~30 iterations
-reach ECOS-grade accuracy (vs thousands for cone ADMM). Quirk-compatible μ-slot
-maps as in ``solvers/cvar.py``.
+Per-iteration cost: one tree factorization + O(K) linear sweeps. ~40-80
+iterations reach ECOS-grade accuracy (vs thousands for cone ADMM).
+Quirk-compatible μ-slot maps as in ``solvers/cvar.py``.
+
+Precision note: in float64 (tests/closed-loop parity) this solver matches the
+oracle to ~1e-4. In float32 on TPU, *cold-start* solves of the full-size
+overtake config can overflow the barrier products during the initial transient
+(per-instance gap may report NaN); the best-iterate guard keeps the returned
+solution finite, and warm-started receding-horizon steps are well-behaved —
+but batched cold-start CVaR at f32 is a known conditioning gap (round-2 item;
+the QP path has no such issue).
 """
 
 from __future__ import annotations
