@@ -455,14 +455,27 @@ def cvar_ipm_solve(
                        jnp.minimum(a0, cfg.a_cap_early), a0)
         a1 = jnp.where(gap_at(a0) > grow, 0.3 * a0, a0)
         a = jnp.where(gap_at(a1) > grow, 0.3 * a1, a1)
+        # f32 safety: a non-finite direction (overflowed barrier products on a
+        # cold start) must not poison the iterate — freeze instead. Every
+        # component must be checked (a NaN dual direction poisons the slacks
+        # even at a=0 since 0·NaN = NaN), and the frozen branch must bypass
+        # the arithmetic entirely.
+        finite = jnp.isfinite(a)
+        for dd in dc:
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(dd)))
+        a = jnp.where(finite, a, 0.0)
+
+        def stepped(v, dv):
+            return jnp.where(finite, v + a * dv, v)
 
         new = (
-            x_c + a * dx, u_c + a * du, s_c + a * dsv, r_c + a * dr,
-            sl1_ + a * dsl1, lam1_ + a * dlam1,
-            sl2_ + a * dsl2, lam2_ + a * dlam2,
-            sl3_ + a * dsl3, lam3_ + a * dlam3,
-            sl4_ + a * dsl4, lam4_ + a * dlam4,
-            sq_ + a * dsq, lq_ + a * dlq,
+            stepped(x_c, dx), stepped(u_c, du), stepped(s_c, dsv),
+            stepped(r_c, dr),
+            stepped(sl1_, dsl1), stepped(lam1_, dlam1),
+            stepped(sl2_, dsl2), stepped(lam2_, dlam2),
+            stepped(sl3_, dsl3), stepped(lam3_, dlam3),
+            stepped(sl4_, dsl4), stepped(lam4_, dlam4),
+            stepped(sq_, dsq), stepped(lq_, dlq),
         )
         # best-iterate tracking (returned at the end)
         (bx_, bu_, bs_, br_, bgap) = best
@@ -489,5 +502,6 @@ def cvar_ipm_solve(
     s_f = jnp.where(use_last, state_f[2], bs_)
     r_f = jnp.where(use_last, state_f[3], br_)
     J = obj_val(x_f, u_f, s_f, r_f)
-    aux = {"J": J, "gap": jnp.minimum(gap_last, bgap), "risk": r_f, "gaps": gaps}
+    aux = {"J": J, "gap": jnp.where(use_last, gap_last, bgap), "risk": r_f,
+           "gaps": gaps}
     return x_f, u_f, s_f, r_f, aux
