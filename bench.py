@@ -7,9 +7,14 @@ TPU v5e-16 → 625 solves/s/chip. vs_baseline = measured solves/s/chip ÷ 625.
 
 The measured step is the full receding-horizon hot path per scenario tree:
 warm-start shift → tree build (rollouts + linearization + collision rows) →
-stage-cost assembly → Riccati factorization → ADMM iterations (+ active-set
-polish) — identical to the solve used by the closed-loop environments and
-parity-tested against the NumPy oracle.
+stage-cost assembly → Mehrotra IPM iterations (one Riccati factorization +
+two structured KKT solves each) — identical to the solve used by the
+closed-loop environments and parity-tested against the NumPy oracle.
+
+The IPM runs 20 iterations: the smallest count that passes the closed-loop
+oracle parity gate including the cold first solve (measured max applied-input
+deviation 2.8e-6 vs the 1e-3 gate at 20 iterations; 15 iterations fails the
+cold start outright — see tests/test_controller_parity.py).
 """
 
 import json
@@ -28,7 +33,7 @@ def main():
     from belief_planning_tpu.models.policies import highway_policy_set
     from belief_planning_tpu.models.predictive import highway_model
     from belief_planning_tpu.presets import init_branch_mpc
-    from belief_planning_tpu.solvers.tree_qp import ADMMConfig
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
     from belief_planning_tpu.utils.config import BranchConstants
 
     # reference overtake configuration (main_branch.py:24-48)
@@ -42,8 +47,8 @@ def main():
     model = highway_model(cons, pset, N=N, dt=dt)
     params = init_branch_mpc(n, d, N, NB, xRef, am=6.0, rm=0.3, N_lane=4, W=cons.W)
 
-    admm = ADMMConfig()   # tuned defaults: rho=5, α=1.6, 200 iters + 30 polish
-    topo, init_carry, step = make_branch_mpc_step(model, params, "prox", admm)
+    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "20")))
+    topo, init_carry, step = make_branch_mpc_step(model, params, "prox", ipm=ipm)
     vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
 
     B = int(os.environ.get("BENCH_BATCH", "2048"))

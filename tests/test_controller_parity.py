@@ -18,7 +18,7 @@ from belief_planning_tpu.utils.config import BranchConstants, BranchMPCParams
 from tests.test_tree_qp import overtake_setup
 
 
-def simulate_closed_loop(n_steps=8, N=4, NB=2):
+def simulate_closed_loop(n_steps=8, N=4, NB=2, **mpc_kwargs):
     cons, pset, model, params = overtake_setup(N=N, NB=NB)
     dt = model.dt
 
@@ -29,6 +29,7 @@ def simulate_closed_loop(n_steps=8, N=4, NB=2):
         params, model, pset.params,
         admm=ADMMConfig(iters=400),
         dtype=jnp.float64,
+        **mpc_kwargs,
     )
 
     def f(x, u):
@@ -65,6 +66,17 @@ def test_closed_loop_input_parity():
     # inputs respect bounds
     assert np.abs(u_j[:, 0]).max() <= 6.0 + 1e-6
     assert np.abs(u_j[:, 1]).max() <= 0.3 + 1e-6
+
+
+def test_closed_loop_input_parity_bench_config():
+    """Gate the bench.py solver setting (IPM, 20 iterations) — the smallest
+    iteration count whose COLD first solve still converges: 15 iterations
+    deviates by ~1e-1 on the cold start and must never ship."""
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    u_o, u_j, _, _ = simulate_closed_loop(n_steps=8, ipm=QPIPMConfig(iters=20))
+    err = np.abs(u_o - u_j).max()
+    assert err < 1e-4, f"closed-loop input deviation at IPM-20: {err}"
 
 
 def test_first_solve_matches_oracle_tightly():
