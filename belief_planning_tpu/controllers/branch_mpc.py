@@ -159,6 +159,94 @@ def make_branch_mpc_step(
     return topo, init_carry, step
 
 
+def make_branch_mpc_batched_step(
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    variant: str = "prox",
+    replicate_quirks: bool = True,
+    feas_tol: float = 1e-3,
+    ipm: QPIPMConfig = QPIPMConfig(),
+):
+    """Batch-last variant of ``make_branch_mpc_step`` (IPM backend only).
+
+    The returned ``step(carrys, xs, zs, xRefs, policy_params)`` takes
+    batch-LEADING pytrees (same as ``jax.vmap`` of the per-lane step) but runs
+    the solver iterations in batch-LAST layout — lanes of the TPU vector unit
+    hold the batch, and the tiny (n, n)/(d, d) matrix dims sit in the cheap
+    major axes (see ``solvers/tree_qp_bl``). Tree build + cost assembly stay
+    vmapped (they are a small, one-off share of the step). Numerically
+    identical to the vmapped step to solver precision
+    (tests/test_tree_qp_bl.py)."""
+    from belief_planning_tpu.solvers.tree_qp_bl import (
+        _from_bl,
+        _to_bl,
+        cost_to_bl,
+        qp_ipm_solve_bl,
+    )
+
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    plan = build_stage_plan(topo)
+    Fx, bx = params.Fx, params.bx
+    Fu, bu = params.Fu, params.bu
+    Q, R, Qf, dR, Qslack = params.Q, params.R, params.Qf, params.dR, params.Qslack
+
+    Nc = Fx.shape[0] + 1
+    nFu = Fu.shape[0]
+
+    def init_carry(dtype=jnp.float32) -> MPCCarry:
+        return MPCCarry(
+            u_lin=jnp.zeros((topo.totalu, params.d), dtype),
+            p=jnp.zeros((topo.n_branches, topo.m), dtype),
+            old_input=jnp.zeros((params.d,), dtype),
+            initialized=jnp.asarray(False),
+            y1=jnp.zeros((topo.totalu, Nc), dtype),
+            y2=jnp.zeros((topo.totalu, nFu), dtype),
+            y3=jnp.zeros((topo.totalu, Nc), dtype),
+        )
+
+    def prep(carry: MPCCarry, x, z, xRef, policy_params):
+        x = jnp.asarray(x)
+        policy_params = _cast_pytree(policy_params, x.dtype)
+        src_idx = warm_shift_indices(topo, carry.p)
+        u_lin = jnp.where(carry.initialized, carry.u_lin[src_idx],
+                          jnp.zeros_like(carry.u_lin))
+        ts = build_tree(model, topo, x, jnp.asarray(z), u_lin, policy_params)
+        cost = assemble_stage_cost(
+            topo, ts, Q, R, Qf, dR, Qslack, jnp.asarray(xRef), carry.old_input,
+            variant=variant, replicate_quirks=replicate_quirks,
+        )
+        return ts, cost
+
+    def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
+        ts_b, cost_b = jax.vmap(prep, in_axes=(0, 0, 0, 0, None))(
+            carrys, xs, zs, xRefs, policy_params
+        )
+        x_nodes_bl, u_bl, s_bl, info = qp_ipm_solve_bl(
+            plan, cost_to_bl(cost_b),
+            _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.C),
+            _to_bl(ts_b.dh), _to_bl(ts_b.h0),
+            Fx, bx, Fu, bu,
+            _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
+            ipm,
+        )
+        x_nodes = _from_bl(x_nodes_bl)
+        u = _from_bl(u_bl)
+        s = _from_bl(s_bl)
+        B = u.shape[0]
+        new_carry = MPCCarry(
+            u_lin=u, p=ts_b.p, old_input=u[:, 0],
+            initialized=jnp.broadcast_to(jnp.asarray(True), (B,)),
+            y1=carrys.y1, y2=carrys.y2, y3=carrys.y3,
+        )
+        res = SolveResult(
+            xPred=x_nodes, uPred=u, slack=s, w=ts_b.w, p=ts_b.p,
+            x_lin=ts_b.x_lin, z=ts_b.z,
+            prim_res=info["prim_res"],
+            feasible=info["prim_res"] < feas_tol,
+        )
+        return new_carry, res
+
+    return topo, init_carry, step
 
 
 

@@ -71,18 +71,49 @@ def qp_ipm_solve(
     nFx = Fx.shape[0]
     nFu = Fu.shape[0]
 
+    # Constraint-row operators. In the standard (non-override) layout only row
+    # 0 of each stage's block varies per stage/lane (−dh from the collision
+    # linearization); rows 1..nFx are the SHARED state-bound matrix Fx. The
+    # split forms below exploit that: no (totalu, Nc, n) per-lane Fxc tensor is
+    # ever materialized, the shared rows contract against Fx directly, and the
+    # per-stage part is a rank-one dh term — this is the dominant per-iteration
+    # cost outside the Riccati sweeps. The override path (robust/HMM
+    # controllers with padded per-time rows) keeps the generic dense block.
     if Fxc_override is not None:
         Fxc = jnp.asarray(Fxc_override, dtype)
         b1 = jnp.asarray(b1_override, dtype)
         Nc = Fxc.shape[1]
+
+        def row_mul(xv):
+            """(totalu, n) → Fxc·x (totalu, Nc)."""
+            return jnp.einsum("brn,bn->br", Fxc, xv)
+
+        def row_mulT(v):
+            """(totalu, Nc) → Fxcᵀ·v (totalu, n)."""
+            return jnp.einsum("brn,br->bn", Fxc, v)
+
+        def row_quad(coefs):
+            """(totalu, Nc) → Σ_r coefs_r F_r F_rᵀ (totalu, n, n)."""
+            return jnp.einsum("br,bri,brj->bij", coefs, Fxc, Fxc)
     else:
         Nc = nFx + 1
-        Fxc = jnp.concatenate(
-            [-ts.dh[:, None, :], jnp.broadcast_to(Fx, (totalu, nFx, n))], axis=1
-        )
+        dh = ts.dh                                       # (totalu, n)
         b1 = jnp.concatenate(
             [ts.h0[:, None], jnp.broadcast_to(bx, (totalu, nFx))], axis=1
         )
+
+        def row_mul(xv):
+            r0 = -jnp.sum(dh * xv, axis=-1)
+            rr = jnp.einsum("rn,bn->br", Fx, xv)
+            return jnp.concatenate([r0[:, None], rr], axis=1)
+
+        def row_mulT(v):
+            return -dh * v[:, :1] + jnp.einsum("rn,br->bn", Fx, v[:, 1:])
+
+        def row_quad(coefs):
+            rank1 = coefs[:, 0, None, None] * dh[:, :, None] * dh[:, None, :]
+            shared = jnp.einsum("br,ri,rj->bij", coefs[:, 1:], Fx, Fx)
+            return rank1 + shared
 
     cx_nodes = np.asarray(topo.cnode_x)
     leaf_term = plan.leaf_term_idx
@@ -98,7 +129,7 @@ def qp_ipm_solve(
     u_i = ts.u_lin if warm_primal is None else warm_primal[1]
     s_i = jnp.zeros((totalu, Nc), dtype)
 
-    rows1 = jnp.einsum("brn,bn->br", Fxc, x_i[cx_nodes]) - s_i
+    rows1 = row_mul(x_i[cx_nodes]) - s_i
     sl1 = jnp.maximum(b1 - rows1, 1.0)
     lam1 = cfg.mu0 / sl1
     sl2 = jnp.maximum(bu[None] - jnp.einsum("rn,bn->br", Fu, u_i), 1.0)
@@ -116,7 +147,7 @@ def qp_ipm_solve(
         w3 = clampw(lam3_ / sl3_)
         kap = cost.slack_quad + w1 + w3 + cfg.reg
         coefs = w1 - w1 * w1 / kap
-        Qx2 = cost.Qx2 + jnp.einsum("br,bri,brj->bij", coefs, Fxc, Fxc)
+        Qx2 = cost.Qx2 + row_quad(coefs)
         Qx2 = Qx2 + cfg.reg * jnp.eye(n, dtype=dtype)[None]
         Ru2 = cost.Ru2 + jnp.einsum("br,ri,rj->bij", w2, Fu, Fu)
         Ru2 = Ru2 + cfg.reg * jnp.eye(d, dtype=dtype)[None]
@@ -127,18 +158,18 @@ def qp_ipm_solve(
 
     def kkt_solve(fac, ws, qx, qu, qterm, qs):
         w1, w2, w3, kap = ws
-        qx_eff = qx + jnp.einsum("brn,br->bn", Fxc, (w1 / kap) * qs)
+        qx_eff = qx + row_mulT((w1 / kap) * qs)
         kff = tree_lqr_linear(plan, fac, qx_eff, qu, qterm, affine=False)
         dx, du = tree_lqr_forward(
             plan, fac, kff, jnp.zeros((n,), dtype), jnp.zeros((d,), dtype),
             affine=False,
         )
-        dsv = (jnp.einsum("br,brn,bn->br", w1, Fxc, dx[cx_nodes]) - qs) / kap
+        dsv = (w1 * row_mul(dx[cx_nodes]) - qs) / kap
         return dx, du, dsv
 
     def iteration(carry, it_idx):
         ((x_c, u_c, s_c, sl1_, lam1_, sl2_, lam2_, sl3_, lam3_), best) = carry
-        rows1 = jnp.einsum("brn,bn->br", Fxc, x_c[cx_nodes]) - s_c
+        rows1 = row_mul(x_c[cx_nodes]) - s_c
         rows2 = jnp.einsum("rn,bn->br", Fu, u_c)
         r1 = rows1 + sl1_ - b1
         r2 = rows2 + sl2_ - bu[None]
@@ -153,7 +184,7 @@ def qp_ipm_solve(
         # assembly the factorization uses — here we form it directly)
         # x-part: 2·Qx2_base·x? cost.Qx2 is already 2·w(dQ+Q) (½-form Hessian)
         rd_x = jnp.einsum("bij,bj->bi", cost.Qx2, x_c[cx_nodes]) + cost.qx
-        rd_x = rd_x + jnp.einsum("brn,br->bn", Fxc, lam1_)
+        rd_x = rd_x + row_mulT(lam1_)
         # u-part incl. rate-coupling edges (Dab2 with pred/succ stages)
         rd_u = jnp.einsum("bij,bj->bi", cost.Ru2, u_c) + cost.qu
         pred_uu = np.asarray(topo.pred_uu).copy()
@@ -176,11 +207,11 @@ def qp_ipm_solve(
             ex1 = (-rc1 + lam1_ * r1) / sl1_
             ex2 = (-rc2 + lam2_ * r2) / sl2_
             ex3 = (-rc3 + lam3_ * r3) / sl3_
-            qx = rd_x + jnp.einsum("brn,br->bn", Fxc, ex1)
+            qx = rd_x + row_mulT(ex1)
             qu = rd_u + jnp.einsum("rn,br->bn", Fu, ex2)
             qs = rd_s + (-ex1) + (-ex3)
             dx, du, dsv = kkt_solve(fac, ws, qx, qu, rd_term, qs)
-            drow1 = jnp.einsum("brn,bn->br", Fxc, dx[cx_nodes]) - dsv
+            drow1 = row_mul(dx[cx_nodes]) - dsv
             drow2 = jnp.einsum("rn,bn->br", Fu, du)
             dsl1 = -r1 - drow1
             dsl2 = -r2 - drow2
@@ -257,7 +288,7 @@ def qp_ipm_solve(
     s_f = jnp.where(use_last, state_f[2], bs_)
     gap_f = jnp.minimum(gap_last, bgap)
     # primal feasibility report
-    rows1 = jnp.einsum("brn,bn->br", Fxc, x_f[cx_nodes]) - s_f
+    rows1 = row_mul(x_f[cx_nodes]) - s_f
     rows2 = jnp.einsum("rn,bn->br", Fu, u_f)
     prim = jnp.maximum(
         jnp.max(jnp.maximum(rows1 - b1, 0.0)),
