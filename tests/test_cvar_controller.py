@@ -41,6 +41,53 @@ def test_cvar_receding_horizon_parity():
         z = f(z, np.array([0.0, -cons.Kpsi * z[3]]))
 
 
+def test_cvar_merge_S_parity():
+    """Ramp-lane receding-horizon CVaR solves with the shear transform ``S``
+    and runtime ``bx`` override must match the oracle transcription of the
+    reference merge path (``MPC_branch.py:2043-2059``): the constraints and
+    cone references follow the ramp geometry, not the road frame."""
+    N, NB = 3, 1
+    cons = BranchConstants(am=7.0)
+    refY, refpsi = merge_ref_lines(2, 1, 50, 300, 0)
+    pset = merge_policy_set(cons, 20.0, None)
+    model = merge_model(cons, pset, N=N, dt=0.1)
+    params = init_branch_mpc(4, 2, N, NB, np.array([0.5, 1.8, 15.0, 0.0]),
+                             am=7.0, rm=0.3, N_lane=2, W=cons.W)
+    adapter = OracleModelAdapter(model, pset.params)
+    oracle = OracleCVaRController(params, adapter, ralpha=0.1)
+    # α=0.1 + the shear make this cone program converge slower than the
+    # overtake case: 150 iterations reaches ~5e-6 vs the 1e-3 gate (60 stalls
+    # at ~3e-3 on the warm-started third step)
+    mpc = BranchMPCCVaR(params, model, pset.params, ralpha=0.1,
+                        ipm=CVaRIPMConfig(iters=150), use_S=True,
+                        dtype=jnp.float64)
+    x = np.array([24.0, 13.0, 20.0, -0.2])
+    z = np.array([15.0, 5.4, 20.0, 0.0])
+
+    def f(s, u):
+        return s + np.array([s[2] * np.cos(s[3]), s[2] * np.sin(s[3]),
+                             u[0], u[1]]) * 0.1
+
+    for t in range(3):
+        y0 = float(refY(x[0]))
+        psi0 = float(refpsi(x[0]))
+        S = np.array([[1., 0, 0, 0], [-np.tan(psi0), 1., 0, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        xRef = np.array([0., -np.tan(psi0) * x[0] + y0 + 1.8, 20.0, psi0])
+        bx = np.array([
+            -np.tan(psi0) * x[0] + y0 + 3.6 * 1 - cons.W / 2,
+            np.tan(psi0) * x[0] - y0 - cons.W / 2,
+            psi0 + oracle.psimax,
+            -psi0 + oracle.psimax,
+        ])
+        u_o = oracle.solve(x, z, xRef=xRef, S=S, bx=bx)
+        u_j = mpc.solve(x, z, xRef=xRef, S=S, bx=bx)
+        err = np.abs(np.asarray(u_j) - u_o).max()
+        assert err < 1e-3, (t, err)
+        x = f(x, u_o)
+        z = f(z, np.array([0.0, -cons.Kpsi * z[3]]))
+
+
 def test_cvar_overtake_env_smoke():
     """Full overtake env with the CVaR controller (the reference primary demo,
     main_branch.py:20-51) for a few steps."""
