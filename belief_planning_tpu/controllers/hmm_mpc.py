@@ -112,6 +112,19 @@ def make_hmm_mpc_step(model: HMMPredictiveModel, params: MPCParams,
             dh=jnp.zeros((N, n_aug), dtype),
         )
 
+        # The Riccati-eliminated IPM needs a warm iterate ON the linearized-
+        # dynamics manifold (x_0 = measured, x_{i+1} = A_i x_i + B_i u_i + C_i).
+        # The nonlinear rollout xLin is the LINEARIZATION trajectory but — with
+        # the reference's off-by-one linearization points — does not satisfy
+        # those rows exactly, so re-roll the iterate through (A, B, C).
+        def _lin_roll(c, inp):
+            Ai, Bi, Ci, ui = inp
+            nxt = Ai @ c + Bi @ ui + Ci
+            return nxt, nxt
+
+        _, xw_tail = jax.lax.scan(_lin_roll, xb0, (A, B, C, uLin_ext[:N]))
+        x_warm = jnp.concatenate([xb0[None], xw_tail], axis=0)
+
         # belief-gated collision rows per stage t (nodes 1..N−1):
         # row (j,k) at node t uses Jh from linearization index t (at xLin[t+1]),
         # gated on the belief at xLin[t] (> thres) — reference :204-221
@@ -145,6 +158,7 @@ def make_hmm_mpc_step(model: HMMPredictiveModel, params: MPCParams,
             x_nodes, u, s, info = qp_ipm_solve(
                 plan, cost, ts, Fx, bx, Fu, bu, xb0, carry.old_input,
                 ipm, Fxc_override=Fxc, b1_override=b1,
+                warm_primal=(x_warm, uLin_ext[:N]),
             )
         else:
             x_nodes, u, s, st, info = admm_solve(

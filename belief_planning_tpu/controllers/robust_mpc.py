@@ -135,6 +135,21 @@ def make_robust_mpc_step(
         uLin = carry.uLin
 
         A, B, C, _ = model.linearize(xLin[:-1], uLin)
+
+        # The Riccati-eliminated IPM enforces dynamics implicitly: the iterate
+        # must lie on the NEW linearized-dynamics manifold with x_0 = measured
+        # x. The shifted prediction (the reference's linearization trajectory,
+        # kept as the linearization point) satisfies only the PREVIOUS solve's
+        # dynamics, so re-roll the warm iterate through the new (A, B, C)
+        # before handing it to the solver — the QP itself is unchanged.
+        def _lin_roll(c, inp):
+            Ai, Bi, Ci, ui = inp
+            nxt = Ai @ c + Bi @ ui + Ci
+            return nxt, nxt
+
+        _, x_tail = jax.lax.scan(_lin_roll, x, (A, B, C, uLin))
+        x_warm = jnp.concatenate([x[None], x_tail], axis=0)
+
         ts_chain = TreeState(
             x_lin=xLin, u_lin=uLin,
             z=jnp.zeros((Nu, n), dtype),
@@ -171,6 +186,7 @@ def make_robust_mpc_step(
             x_nodes, u, s, info = qp_ipm_solve(
                 plan_chain, cost, ts_chain, Fx, bx, Fu, bu, x, carry.old_input,
                 ipm, Fxc_override=Fxc, b1_override=b1,
+                warm_primal=(x_warm, uLin),
             )
         else:
             x_nodes, u, s, st, info = admm_solve(
@@ -198,13 +214,14 @@ class RobustMPC:
 
     def __init__(self, mpcParameters: BranchMPCParams,
                  predictiveModel: PredictiveModel, policy_params,
-                 admm: ADMMConfig = ADMMConfig(), dtype=jnp.float64):
+                 admm: ADMMConfig = ADMMConfig(), dtype=jnp.float64,
+                 solver: str = "ipm", ipm: QPIPMConfig = QPIPMConfig()):
         self.params = mpcParameters
         self.model = predictiveModel
         self.policy_params = policy_params
         self.dtype = dtype
         self.topo, self._init_carry, step = make_robust_mpc_step(
-            predictiveModel, mpcParameters, admm
+            predictiveModel, mpcParameters, admm, solver=solver, ipm=ipm
         )
         self._step = jax.jit(step)
         self.carry = self._init_carry(dtype)

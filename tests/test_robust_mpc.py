@@ -58,6 +58,58 @@ def test_robust_avoids_all_branches():
     assert u0[0] < 0.5   # not accelerating into the slower car
 
 
+def test_robust_closed_loop_oracle_parity():
+    """Closed-loop applied inputs must track the dense NumPy transcription of
+    the reference robustMPC (MPC_branch.py:1275-1595).
+
+    The obstacle is offset laterally (y=2.1): a perfectly centered follow
+    scenario has TWO exactly-mirrored global optima (swerve left/right with
+    identical cost — measured u = [-3.41600784, ±0.02273243]), so trajectory
+    parity there is ill-posed. With the symmetry broken the optimum is unique
+    and both solvers agree to ~5e-8. The scenario also stays off the
+    road-boundary box so the documented terminal-Fx-rows deviation cannot
+    bind."""
+    from belief_planning_tpu.oracle.reference_robust import OracleRobustController
+    from belief_planning_tpu.oracle.reference_tree import OracleModelAdapter
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    cons = BranchConstants()
+    xt = np.array([0.5, 1.8, 15.0, 0.0])
+    pset = highway_policy_set(cons, xt)
+    model = highway_model(cons, pset, N=4, dt=0.1)
+    params = init_branch_mpc(4, 2, 4, 2, xt, am=6.0, rm=0.3, N_lane=4,
+                             W=cons.W)
+    adapter = OracleModelAdapter(model, pset.params)
+    oracle = OracleRobustController(params, adapter)
+    # warm-started solves converge slower than cold ones here (the interior
+    # restart discards the near-boundary warm point): 100 iterations reaches
+    # ~2e-8 vs the oracle, 40 leaves ~4e-5 which compounds through the loop
+    mpc = RobustMPC(params, model, pset.params, dtype=jnp.float64,
+                    ipm=QPIPMConfig(iters=100))
+
+    x_o = np.array([0.0, 1.8, 20.0, 0.0])
+    z_o = np.array([10.0, 2.1, 16.0, 0.0])
+    x_j, z_j = x_o.copy(), z_o.copy()
+    xRef = np.array([0.0, 1.8, 18.0, 0.0])
+    dt = model.dt
+
+    def f(s, u):
+        return s + np.array([s[2] * np.cos(s[3]), s[2] * np.sin(s[3]),
+                             u[0], u[1]]) * dt
+
+    errs = []
+    for t in range(5):
+        u_o = oracle.solve(x_o, z_o, xRef)
+        u_j = np.asarray(mpc.solve(x_j, z_j, xRef))
+        errs.append(np.abs(u_o - u_j).max())
+        x_o = f(x_o, u_o)
+        z_o = f(z_o, np.array([0.0, -cons.Kpsi * z_o[3]]))
+        x_j = f(x_j, u_j)
+        z_j = f(z_j, np.array([0.0, -cons.Kpsi * z_j[3]]))
+    assert max(errs) < 1e-5, errs
+    assert oracle.feasible == 1 and mpc.feasible == 1
+
+
 def test_robust_receding_horizon_runs():
     cons, model, params, mpc = make_robust(N=3, NB=1)
     x = np.array([0.0, 1.8, 20.0, 0.0])
