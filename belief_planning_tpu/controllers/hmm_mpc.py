@@ -184,12 +184,13 @@ class HMMMPC:
     xRef)`` API (``PredictiveControllers.py:130``)."""
 
     def __init__(self, mpcParameters: MPCParams, predictiveModel: HMMPredictiveModel,
-                 admm: ADMMConfig = ADMMConfig(), dtype=jnp.float64):
+                 admm: ADMMConfig = ADMMConfig(), dtype=jnp.float64,
+                 solver: str = "ipm", ipm: QPIPMConfig = QPIPMConfig()):
         self.params = mpcParameters
         self.model = predictiveModel
         self.dtype = dtype
         self.topo, self._init_carry, step = make_hmm_mpc_step(
-            predictiveModel, mpcParameters, admm
+            predictiveModel, mpcParameters, admm, solver=solver, ipm=ipm
         )
         self._step = jax.jit(step)
         self.carry = self._init_carry(dtype)

@@ -87,6 +87,41 @@ def test_hmm_mpc_solves_and_brakes_for_likely_obstacle():
     assert np.all(np.isfinite(u1))
 
 
+def test_hmm_mpc_oracle_parity():
+    """Receding-horizon applied inputs must match the dense NumPy
+    transcription of the reference belief-LTV MPC
+    (PredictiveControllers.py:56-340), including the off-by-one
+    linearization and belief-gating quirks. b0 keeps every belief entry
+    well above the 0.1 gate so row activation cannot flip on solver noise."""
+    from belief_planning_tpu.oracle.reference_hmm import OracleHMMController
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    cons, model, params = hmm_setup(N=6)
+    oracle = OracleHMMController(params, model)
+    mpc = HMMMPC(params, model, dtype=jnp.float64,
+                 ipm=QPIPMConfig(iters=100))
+    x0 = np.array([0.0, 1.8, 15.0, 0.0])
+    b0 = np.array([[0.7, 0.3]])
+    xRef = np.array([0.0, 1.8, 15.0, 0.0])
+    z = np.array([14.0, 2.0, 10.0, 0.0])
+
+    errs = []
+    for t in range(3):
+        xb_steps = np.zeros((6, 2, 4))
+        for s in range(6):
+            xb_steps[s, 0] = z + np.array([10.0, 0, 0, 0]) * 0.1 * (s + 1)
+            xb_steps[s, 1] = z + np.array([8.0, 0, 0, 0]) * 0.1 * (s + 1)
+        u_o = oracle.solve(x0, b0, xb_steps, xRef)
+        u_j = np.asarray(mpc.solve(x0, b0, xb_steps, xRef))
+        errs.append(np.abs(u_o - u_j).max())
+        # step both worlds identically with the oracle input
+        x0 = x0 + np.array([x0[2] * np.cos(x0[3]), x0[2] * np.sin(x0[3]),
+                            u_o[0], u_o[1]]) * 0.1
+        z = z + np.array([z[2], 0.0, 0.0, 0.0]) * 0.1
+    assert max(errs) < 1e-5, errs
+    assert oracle.feasible == 1 and mpc.feasible == 1
+
+
 def test_hmm_highway_env_steps():
     cons, model, params = hmm_setup(M=2, N=5)
     mpc = HMMMPC(params, model, admm=ADMMConfig(iters=120, polish_iters=15),
