@@ -22,12 +22,16 @@ iterations reach ECOS-grade accuracy (vs thousands for cone ADMM).
 Quirk-compatible μ-slot maps as in ``solvers/cvar.py``.
 
 Precision note: in float64 (tests/closed-loop parity) this solver matches the
-oracle to ~1e-4. In float32 on TPU, *cold-start* solves of the full-size
-overtake config can overflow the barrier products during the initial transient
-(per-instance gap may report NaN); the best-iterate guard keeps the returned
-solution finite, and warm-started receding-horizon steps are well-behaved —
-but batched cold-start CVaR at f32 is a known conditioning gap (round-2 item;
-the QP path has no such issue).
+oracle to ~1e-4. Float32 conditioning is handled by (a) per-cone scaling
+(``cscale`` below — raw cost-to-go cone values are O(1e3-1e4) and used to
+stall/overflow f32 cold starts entirely) and (b) the near-feasible linear-row
+start (``sl_min``). Measured on the full overtake config (B=256 random cold
+starts, 40 iters, real v5e): every lane finite and bounded, gap p50 ~1.0,
+p99 ~5 — no stalled-at-start lanes (was: p50 = p99 = initial gap 10). f32
+gaps remain O(1) rather than parity-grade: Newton directions through the f32
+tree factorization + Woodbury are noisy enough that the step-quality backoff
+keeps steps short; f64 (CPU) convergence is unaffected. Candidate next step:
+one round of iterative refinement per KKT solve.
 """
 
 from __future__ import annotations
@@ -59,6 +63,16 @@ class CVaRIPMConfig:
     early_iters: int = 6
     w_max: float = 1e12    # clamp on barrier weights λ/s (numerical safety)
     gap_tol: float = 1e-9  # freeze the iterate once the (scaled) gap is below
+    # Slack floor of the starting point (see solvers/tree_qp_ipm.py — the same
+    # near-feasible-start finding): sl = max(b - rows, sl_min) keeps the
+    # (typically strictly feasible) rolled-out primal nearly feasible instead
+    # of manufacturing |r|≈1 infeasibility on every inactive row. Unlike the
+    # QP path (0.1), the cone rows here start heavily infeasible regardless
+    # (risk variables at 0), and a very small linear-row floor destabilizes
+    # the f64 40-iteration solves (measured: 0.1 → 2.6e-2 u-error on the
+    # oracle-parity case vs 1.1e-4 at 0.3 and 1.8e-4 at 1.0). 0.3 also cuts
+    # the f32 cold-start median gap 6× (10 → 1.6 at 40 iters, overtake batch).
+    sl_min: float = 0.3
 
 
 @_f32_precision
@@ -138,8 +152,8 @@ def cvar_ipm_solve(
             if cplan.child_nonleaf[idx, i]:
                 f_risk[kk, c] += 1.0                            # ρ_child
             kk += 1
-    stage_mask_j = jnp.asarray(stage_mask, dtype)               # (K, totalu)
-    f_risk_j = jnp.asarray(f_risk, dtype)
+    stage_mask_raw = jnp.asarray(stage_mask, dtype)             # (K, totalu)
+    f_risk_raw = jnp.asarray(f_risk, dtype)
     root_mask = jnp.zeros((totalu,), dtype).at[0].set(1.0)
     # objective linear parts: ρ0 and Qslack1 on root slack rows
     obj_r = jnp.zeros((nrisk,), dtype).at[0].set(1.0)
@@ -161,16 +175,34 @@ def cvar_ipm_solve(
 
     # cone evaluation ------------------------------------------------------
 
-    def cone_vals(x_nodes, u, s, risk):
-        """q_k(v) for all K cones: per-child Σ(node cost) + slack + risk terms."""
+    def _per_stage_cost(x_nodes, u, s):
         xc = x_nodes[cx_nodes]
-        per_stage = (
+        return (
             jnp.einsum("bi,ij,bj->b", xc, Qx_cone, xc)
             + xc @ cx + cconst
             + jnp.einsum("bi,ij,bj->b", u, R, u)
             + Qslack1 * jnp.sum(s, axis=1)
         )
-        return stage_mask_j @ per_stage + f_risk_j @ risk
+
+    # Per-cone scaling: the raw cost-to-go cone values at the start point are
+    # O(1e3-1e4) on realistic configs (speed tracking over N nodes). Dividing
+    # cone k by c_k = max(1, |q_k(v0)|) makes every cone O(1), which keeps the
+    # Woodbury block (I − GᵀZ·diag(wq)) and the barrier products finite in
+    # float32 — the raw scale is what stalled f32 cold starts (round-1 issue).
+    # Exact-arithmetic equivalent: cone duals scale by c_k internally.
+    q_raw0 = (
+        stage_mask_raw @ _per_stage_cost(ts.x_lin, ts.u_lin,
+                                         jnp.zeros((totalu, Nc), dtype))
+        + f_risk_raw @ jnp.zeros((nrisk,), dtype)
+    )
+    cscale = jnp.maximum(jnp.abs(q_raw0), 1.0)                  # (K,)
+    stage_mask_j = stage_mask_raw / cscale[:, None]
+    f_risk_j = f_risk_raw / cscale[:, None]
+
+    def cone_vals(x_nodes, u, s, risk):
+        """q̃_k(v) for all K (scaled) cones: per-child Σ(node cost) + slack +
+        risk terms, divided by c_k."""
+        return stage_mask_j @ _per_stage_cost(x_nodes, u, s) + f_risk_j @ risk
 
     def cone_grads(x_nodes, u, s):
         """∇q_k pieces: gx (K,totalu,n), gu (K,totalu,d), gs (K,totalu,Nc),
@@ -204,12 +236,14 @@ def cvar_ipm_solve(
     # transient on deeper trees)
     mu0 = 10.0
     rows1 = jnp.einsum("brn,bn->br", Fxc, x_i[cx_nodes]) - s_i
-    sl1 = jnp.maximum(b1 - rows1, 1.0)
+    sl1 = jnp.maximum(b1 - rows1, cfg.sl_min)
     lam1 = mu0 / sl1
-    sl2 = jnp.maximum(bu[None] - jnp.einsum("rn,bn->br", Fu, u_i), 1.0)
+    sl2 = jnp.maximum(bu[None] - jnp.einsum("rn,bn->br", Fu, u_i), cfg.sl_min)
     lam2 = mu0 / sl2
-    sl3 = jnp.maximum(s_i, 1.0)
+    sl3 = jnp.maximum(s_i, cfg.sl_min)
     lam3 = mu0 / sl3
+    # risk sign rows start ON the boundary (r_i = 0); a unit slack keeps their
+    # duals moderate while the risk variables move off zero in early iterations
     sl4 = jnp.ones((nsgn,), dtype)
     lam4 = mu0 * jnp.ones((nsgn,), dtype)
     sq = jnp.maximum(-cone_vals(x_i, u_i, s_i, r_i), 1.0)
@@ -222,11 +256,14 @@ def cvar_ipm_solve(
                       lam4_, sl4_, lq_, sq_):
         """Factor the KKT: per-stage quadratics + tree factor + risk block +
         Woodbury columns for the cone-gradient outer products."""
-        # per-stage cone weights: λ of the cone owning the stage; root → 1 (obj)
+        # per-stage cone weights: λ̃/c of the cone owning the stage (the scaled
+        # cone's quadratic is (2Q)/c_k, so the stage Hessian weight is λ̃_k/c_k);
+        # root → 1 (objective)
         clampw = lambda w: jnp.minimum(w, w_max_eff)
+        lq_eff = lq_ / cscale
         lam_stage = jnp.where(
             jnp.asarray(cone_of_stage >= 0),
-            lq_[jnp.maximum(jnp.asarray(cone_of_stage), 0)],
+            lq_eff[jnp.maximum(jnp.asarray(cone_of_stage), 0)],
             0.0,
         ) + root_mask                     # root counts with weight 1 (objective)
         # x-blocks: 2 λ_stage Qx_cone (root stage has no x in its cone/objective)

@@ -349,12 +349,12 @@ def qp_ipm_solve_bl(
     s_i = jnp.zeros((totalu, Nc, Z), dtype)
 
     rows1 = jnp.einsum("brnZ,bnZ->brZ", Fxc, x_i[cx_nodes]) - s_i
-    sl1 = jnp.maximum(b1 - rows1, 1.0)
+    sl1 = jnp.maximum(b1 - rows1, cfg.sl_min)
     lam1 = cfg.mu0 / sl1
     sl2 = jnp.maximum(bu[None, :, None]
-                      - jnp.einsum("rn,bnZ->brZ", Fu, u_i), 1.0)
+                      - jnp.einsum("rn,bnZ->brZ", Fu, u_i), cfg.sl_min)
     lam2 = cfg.mu0 / sl2
-    sl3 = jnp.maximum(s_i, 1.0)
+    sl3 = jnp.maximum(s_i, cfg.sl_min)
     lam3 = cfg.mu0 / sl3
     mtot = float(sl1.shape[0] * sl1.shape[1] + sl2.shape[0] * sl2.shape[1]
                  + sl3.shape[0] * sl3.shape[1])

@@ -11,10 +11,14 @@ stage-cost assembly → Mehrotra IPM iterations (one Riccati factorization +
 two structured KKT solves each) — identical to the solve used by the
 closed-loop environments and parity-tested against the NumPy oracle.
 
-The IPM runs 20 iterations: the smallest count that passes the closed-loop
-oracle parity gate including the cold first solve (measured max applied-input
-deviation 2.8e-6 vs the 1e-3 gate at 20 iterations; 15 iterations fails the
-cold start outright — see tests/test_controller_parity.py).
+The IPM runs 12 iterations with the near-feasible start (sl_min=0.1,
+solvers/tree_qp_ipm.py): the smallest count that passes the closed-loop oracle
+parity gate with margin, including the cold first solve (measured max
+applied-input deviation 2.6e-4 over a 10-step episode vs the 1e-3 gate;
+10 iterations still passes at 7.4e-4 but without margin — see
+tests/test_controller_parity.py). History: the original centered start with
+slack floor 1.0 manufactured a ~7-iteration infeasibility transient and needed
+20 iterations for the same accuracy.
 """
 
 import json
@@ -47,7 +51,7 @@ def main():
     model = highway_model(cons, pset, N=N, dt=dt)
     params = init_branch_mpc(n, d, N, NB, xRef, am=6.0, rm=0.3, N_lane=4, W=cons.W)
 
-    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "20")))
+    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "12")))
     topo, init_carry, step = make_branch_mpc_step(model, params, "prox", ipm=ipm)
     vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
 

@@ -69,14 +69,17 @@ def test_closed_loop_input_parity():
 
 
 def test_closed_loop_input_parity_bench_config():
-    """Gate the bench.py solver setting (IPM, 20 iterations) — the smallest
-    iteration count whose COLD first solve still converges: 15 iterations
-    deviates by ~1e-1 on the cold start and must never ship."""
+    """Gate the bench.py solver setting (IPM, 12 iterations, near-feasible
+    start sl_min=0.1) against the BASELINE.md 1e-3 closed-loop gate, cold
+    first solve included. Measured ~2.6e-4 on the full overtake config
+    (N=8, NB=2, 10 steps); 10 iterations passes only without margin (7.4e-4),
+    8 fails. The margin assert here is tighter than the gate to catch
+    convergence regressions early."""
     from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
 
-    u_o, u_j, _, _ = simulate_closed_loop(n_steps=8, ipm=QPIPMConfig(iters=20))
+    u_o, u_j, _, _ = simulate_closed_loop(n_steps=8, ipm=QPIPMConfig(iters=12))
     err = np.abs(u_o - u_j).max()
-    assert err < 1e-4, f"closed-loop input deviation at IPM-20: {err}"
+    assert err < 5e-4, f"closed-loop input deviation at IPM-12: {err}"
 
 
 def test_first_solve_matches_oracle_tightly():
