@@ -166,8 +166,15 @@ def make_branch_mpc_batched_step(
     replicate_quirks: bool = True,
     feas_tol: float = 1e-3,
     ipm: QPIPMConfig = QPIPMConfig(),
+    backend: str = "bl",
+    backend_opts: Optional[dict] = None,
 ):
     """Batch-last variant of ``make_branch_mpc_step`` (IPM backend only).
+
+    ``backend`` selects the solver layout: ``"bl"`` = scan-based batch-last
+    IPM (``tree_qp_bl``), ``"pl_xla"`` = level-blocked fused iteration as
+    plain XLA, ``"pl"`` = the same iteration as one Pallas TPU kernel
+    (``tree_qp_pl``).
 
     The returned ``step(carrys, xs, zs, xRefs, policy_params)`` takes
     batch-LEADING pytrees (same as ``jax.vmap`` of the per-lane step) but runs
@@ -183,6 +190,16 @@ def make_branch_mpc_batched_step(
         cost_to_bl,
         qp_ipm_solve_bl,
     )
+
+    if backend == "bl":
+        solve_bl = qp_ipm_solve_bl
+    elif backend in ("pl", "pl_xla"):
+        from belief_planning_tpu.solvers.tree_qp_pl import qp_ipm_solve_pl
+
+        solve_bl = partial(qp_ipm_solve_pl, use_pallas=(backend == "pl"),
+                           **(backend_opts or {}))
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
 
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
     plan = build_stage_plan(topo)
@@ -221,7 +238,7 @@ def make_branch_mpc_batched_step(
         ts_b, cost_b = jax.vmap(prep, in_axes=(0, 0, 0, 0, None))(
             carrys, xs, zs, xRefs, policy_params
         )
-        x_nodes_bl, u_bl, s_bl, info = qp_ipm_solve_bl(
+        x_nodes_bl, u_bl, s_bl, info = solve_bl(
             plan, cost_to_bl(cost_b),
             _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.C),
             _to_bl(ts_b.dh), _to_bl(ts_b.h0),

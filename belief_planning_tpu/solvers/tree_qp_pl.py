@@ -1,0 +1,807 @@
+"""Fused batch-last IPM iteration: level-blocked algebra + a Pallas TPU kernel.
+
+The vmapped IPM (``tree_qp_ipm.qp_ipm_solve``) lowers to ~10² small XLA
+kernels per Mehrotra iteration; at the bench batch (B=2048) each iteration
+costs ~22 ms while its arithmetic is ~0.8 GFLOP and its streamed state is
+~100 MB — 20-100× off both rooflines. The overhead is per-kernel launch and
+HBM round-trips of materialized intermediates.
+
+This module removes both:
+
+- **Level-blocked layout.** Every per-stage quantity is kept batch-last and
+  sliced into per-tree-level contiguous blocks ``(nb, l, ..., B)`` (branches
+  of a level × steps). All tree indexing (``stage_idx``/``succ_x``/
+  ``cnode_x``/warm-shift gathers) becomes static reshapes of contiguous
+  ranges — zero gather/scatter ops. The Riccati recursions are Python-unrolled
+  over the (static) level lengths, exactly like ``tree_qp_bl`` with
+  ``unroll=True``, and reuse its small-matrix step math.
+- **One Pallas kernel per IPM iteration** (``qp_ipm_solve_pl``): the whole
+  iteration — residuals, barrier factorization, tree-Riccati factor, two
+  KKT solves (predictor + Mehrotra corrector), fraction-to-boundary step
+  rules — runs in a single kernel, gridded over batch tiles of
+  ``TILE_B`` lanes, with every intermediate resident in VMEM. Per iteration
+  the only HBM traffic is the carried iterate state (~100 MB at B=2048).
+
+Math is identical to ``qp_ipm_solve`` (same reference semantics,
+``MPC_branch.py:185-382``); parity is pinned in ``tests/test_tree_qp_pl.py``.
+``use_pallas=False`` runs the same level-blocked iteration as plain XLA —
+the debug/CPU path and the parity baseline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from belief_planning_tpu.solvers.tree_qp import StageCost, StagePlan, _f32_precision
+from belief_planning_tpu.solvers.tree_qp_bl import _small_inv_bl
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+
+# ---------------------------------------------------------------------------
+# Static level metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LevelMeta:
+    nb: int      # branches in this level
+    l: int       # input stages per branch
+    lx: int      # state nodes per branch (l, +1 for leaves)
+    u0: int      # [u0, u1) flat stage range of the level (contiguous)
+    u1: int
+    x0: int      # [x0, x1) flat x-node range of the level (contiguous)
+    x1: int
+    leaf: bool
+
+
+def build_levels(plan: StagePlan) -> List[LevelMeta]:
+    topo = plan.topo
+    lv = []
+    for k in range(topo.NB + 1):
+        lo, hi = int(topo.level_lo[k]), int(topo.level_hi[k])
+        nb = hi - lo
+        l = int(topo.blen[lo])
+        leaf = bool(topo.is_leaf[lo])
+        lx = l + (1 if leaf else 0)
+        u0 = int(topo.u_off[lo])
+        x0 = int(topo.x_off[lo])
+        lv.append(LevelMeta(nb=nb, l=l, lx=lx, u0=u0, u1=u0 + nb * l,
+                            x0=x0, x1=x0 + nb * lx, leaf=leaf))
+    return lv
+
+
+def _ublk(a, m: LevelMeta):
+    """Slice a flat per-stage array (totalu, ..., T) into (nb, l, ..., T)."""
+    return a[m.u0:m.u1].reshape((m.nb, m.l) + a.shape[1:])
+
+
+def _xblk(a, m: LevelMeta):
+    """Slice a flat per-x-node array (totalx, ..., T) into (nb, lx, ..., T)."""
+    return a[m.x0:m.x1].reshape((m.nb, m.lx) + a.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Small-matrix helpers (batch-last blocks (nb, i, j, T))
+# ---------------------------------------------------------------------------
+
+
+# NOTE on indexing style: Mosaic (Pallas TPU) lowers jnp's *advanced* indexing
+# (any [] mixing integer indices with None/newaxis) to `gather`, which it only
+# supports in 2D. Everything below therefore sticks to basic indexing — pure
+# slices, pure ints, or slices+None — plus broadcast/sum, which lower to
+# slice/reshape/broadcast_in_dim/reduce.
+
+
+def _mm(A, B):
+    """(nb, i, k, T) @ (nb, k, j, T) → (nb, i, j, T) via an unrolled k-loop
+    of elementwise multiply-adds (Mosaic-friendly: no dot_general/gather)."""
+    kdim = A.shape[2]
+    out = A[:, :, 0:1, :] * B[:, 0:1, :, :]
+    for k in range(1, kdim):
+        out = out + A[:, :, k:k + 1, :] * B[:, k:k + 1, :, :]
+    return out
+
+
+def _mtm(A, B):
+    """Aᵀ@B: (nb, k, i, T),(nb, k, j, T) → (nb, i, j, T)."""
+    return jnp.sum(A[:, :, :, None, :] * B[:, :, None, :, :], axis=1)
+
+
+def _mv(A, v):
+    """(nb, i, k, T) @ (nb, k, T) → (nb, i, T)."""
+    return jnp.sum(A * v[:, None, :, :], axis=2)
+
+
+def _mtv(A, v):
+    """Aᵀv: (nb, k, i, T),(nb, k, T) → (nb, i, T)."""
+    return jnp.sum(A * v[:, :, None, :], axis=1)
+
+
+def _t12(M):
+    """Transpose the two middle axes of (nb, a, b, T) via slices+concat
+    (Mosaic: no ≥3D transpose/gather). Tiny a·b only."""
+    a, b = M.shape[1], M.shape[2]
+    rows = []
+    for i in range(b):
+        rows.append(jnp.concatenate(
+            [M[:, j:j + 1, i:i + 1, :] for j in range(a)], axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def _addblk(M, X, i0, j0):
+    """M + X placed at offset (i0, j0) of the two middle axes of
+    (nb, a, b, T), via slice+concat (Mosaic: no scatter-add)."""
+    ni, nj = X.shape[1], X.shape[2]
+    mid = M[:, i0:i0 + ni]
+    cols = [c for c in (mid[:, :, :j0], mid[:, :, j0:j0 + nj] + X,
+                        mid[:, :, j0 + nj:]) if c.shape[2]]
+    mid = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+    rows = [r for r in (M[:, :i0], mid, M[:, i0 + ni:]) if r.shape[1]]
+    return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
+
+
+def _addvec(vM, X, i0):
+    """(nb, a, T) + X (nb, k, T) at offset i0 along the middle axis."""
+    k = X.shape[1]
+    rows = [r for r in (vM[:, :i0], vM[:, i0:i0 + k] + X, vM[:, i0 + k:])
+            if r.shape[1]]
+    return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
+
+
+def _riccati_step(W_P, Qx2, Dab2, Ru2, A, B, C_unused, n, d, reg):
+    """One backward Riccati step on a level block (affine parts dropped —
+    the IPM KKT solves are pure linear-response). Shapes (nb, ·, ·, T).
+    Mirrors ``tree_qp_bl._stage_step_quad_bl``."""
+    Pxx = W_P[:, :n, :n, :]
+    Pxu = W_P[:, :n, n:, :]
+    Puu = W_P[:, n:, n:, :]
+    BtPxx = _mtm(B, Pxx)                                  # (nb, d, n, T)
+    BtPxu = _mtm(B, Pxu)                                  # (nb, d, d, T)
+    GtPG = _mm(BtPxx, B) + BtPxu + _t12(BtPxu) + Puu
+    Huu = Ru2 + GtPG
+    # GtPx = BᵀPxx + Pxuᵀ → GtPF_x = GtPx·A = (BᵀPxx)·A + Pxuᵀ·A
+    GtPF_x = _mm(BtPxx, A) + _mtm(Pxu, A)
+    L = jnp.concatenate([GtPF_x, _t12(Dab2)], axis=2)     # (nb, d, nd, T)
+    Hinv = _small_inv_bl(Huu)
+    K = -_mm(Hinv, L)                                     # (nb, d, nd, T)
+    AtPxxA = _mtm(A, _mm(Pxx, A))
+    nd = n + d
+    nb, _, _, T = W_P.shape
+    P = -_mtm(L, _mm(Hinv, L))
+    P = _addblk(P, Qx2 + AtPxxA, 0, 0)
+    P = 0.5 * (P + _t12(P))
+    # Acl = F + G K with F = [[A,0],[0,0]], G = [B; I]
+    GK_top = _mm(B, K)                                    # (nb, n, nd, T)
+    Acl = jnp.concatenate([_addblk(GK_top, A, 0, 0), K], axis=1)
+    return P, K, Hinv, Acl
+
+
+def _factor_blocks(levels, Qx2_f, Dab2_f, Ru2_f, Pterm2, A_st, B_st,
+                   n, d, m, reg):
+    """Backward quadratic sweep. Flat per-stage inputs (totalu, ·, ·, T);
+    returns per-level lists of K (nb,l,d,nd,T), Hinv, Acl."""
+    NB = len(levels) - 1
+    K_l = [None] * (NB + 1)
+    Hinv_l = [None] * (NB + 1)
+    Acl_l = [None] * (NB + 1)
+    P_head_next = None
+    for k in range(NB, -1, -1):
+        mt = levels[k]
+        nd = n + d
+        if k == NB:
+            T = A_st.shape[-1]
+            top = jnp.concatenate(
+                [Pterm2, jnp.zeros((mt.nb, n, d, T), A_st.dtype)], axis=2)
+            W = jnp.concatenate(
+                [top, jnp.zeros((mt.nb, d, nd, T), A_st.dtype)], axis=1)
+        else:
+            W = _fold0(P_head_next, m)
+        Qx2_b = _ublk(Qx2_f, mt)
+        Dab2_b = _ublk(Dab2_f, mt)
+        Ru2_b = _ublk(Ru2_f, mt)
+        A_b = _ublk(A_st, mt)
+        B_b = _ublk(B_st, mt)
+        Ks, His, Acls = [], [], []
+        for j in range(mt.l - 1, -1, -1):
+            W, K, Hinv, Acl = _riccati_step(
+                W, Qx2_b[:, j], Dab2_b[:, j], Ru2_b[:, j],
+                A_b[:, j], B_b[:, j], None, n, d, reg,
+            )
+            Ks.append(K)
+            His.append(Hinv)
+            Acls.append(Acl)
+        Ks.reverse(); His.reverse(); Acls.reverse()
+        K_l[k] = jnp.stack(Ks, axis=1)        # (nb, l, d, nd, T)
+        Hinv_l[k] = jnp.stack(His, axis=1)
+        Acl_l[k] = jnp.stack(Acls, axis=1)
+        P_head_next = W
+    return K_l, Hinv_l, Acl_l
+
+
+def _linear_blocks(levels, K_l, Hinv_l, Acl_l, B_st, qx_f, qu_f, qterm,
+                   n, d, m):
+    """Backward linear sweep (affine=False). Returns per-level kff blocks."""
+    NB = len(levels) - 1
+    kff_l = [None] * (NB + 1)
+    p_head_next = None
+    for k in range(NB, -1, -1):
+        mt = levels[k]
+        nd = n + d
+        if k == NB:
+            T = qx_f.shape[-1]
+            p = jnp.concatenate(
+                [qterm, jnp.zeros((mt.nb, d, T), qx_f.dtype)], axis=1)
+        else:
+            p = _fold0(p_head_next, m)
+        qx_b = _ublk(qx_f, mt)
+        qu_b = _ublk(qu_f, mt)
+        B_b = _ublk(B_st, mt)
+        kffs = []
+        for j in range(mt.l - 1, -1, -1):
+            l_u = qu_b[:, j] + _mtv(B_b[:, j], p[:, :n, :]) + p[:, n:, :]
+            kff = -_mv(Hinv_l[k][:, j], l_u)
+            pn = _mtv(Acl_l[k][:, j], p) + _mtv(K_l[k][:, j], qu_b[:, j])
+            p = _addvec(pn, qx_b[:, j], 0)
+            kffs.append(kff)
+        kffs.reverse()
+        kff_l[k] = jnp.stack(kffs, axis=1)    # (nb, l, d, T)
+        p_head_next = p
+    return kff_l
+
+
+def _repeat0(a, m):
+    """jnp.repeat(a, m, axis=0) as broadcast+reshape (Mosaic: no ≥3D gather)."""
+    return jnp.broadcast_to(a[:, None], (a.shape[0], m) + a.shape[1:]).reshape(
+        (a.shape[0] * m,) + a.shape[1:])
+
+
+def _fold0(a, m):
+    """Sum groups of ``m`` consecutive rows: (nb·m, ...) → (nb, ...), via
+    unit slices + adds + one concat (Mosaic: reshape+middle-axis-sum trips a
+    relayout bug; strided slices lower to gather)."""
+    nb = a.shape[0] // m
+    parts = []
+    for b in range(nb):
+        s = a[b * m:b * m + 1]
+        for i in range(1, m):
+            s = s + a[b * m + i:b * m + i + 1]
+        parts.append(s)
+    return jnp.concatenate(parts, axis=0) if nb > 1 else parts[0]
+
+
+def _forward_blocks(levels, K_l, Hinv_l, Acl_l, B_st, kff_l, n, d, m, dtype, T):
+    """Forward rollout (affine=False, zero root state). Returns flat
+    dx (totalx, n, T), du (totalu, d, T) assembled from contiguous blocks."""
+    NB = len(levels) - 1
+    xi = jnp.zeros((1, n + d, T), dtype)
+    dx_parts, du_parts = [], []
+    for k in range(NB + 1):
+        mt = levels[k]
+        B_b = _ublk(B_st, mt)
+        us, xs = [], []
+        for j in range(mt.l):
+            kf = kff_l[k][:, j]
+            u = _mv(K_l[k][:, j], xi) + kf
+            xs.append(xi[:, :n, :])
+            xi = _mv(Acl_l[k][:, j], xi) + jnp.concatenate(
+                [_mv(B_b[:, j], kf), kf], axis=1)
+            us.append(u)
+        if mt.leaf:
+            xs.append(xi[:, :n, :])
+        du_parts.append(jnp.stack(us, axis=1).reshape(mt.nb * mt.l, d, T))
+        dx_parts.append(jnp.stack(xs, axis=1).reshape(mt.nb * mt.lx, n, T))
+        if k < NB:
+            xi = _repeat0(xi, m)
+    return jnp.concatenate(dx_parts, axis=0), jnp.concatenate(du_parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# One fused IPM iteration (pure jnp on a batch tile, batch-last)
+# ---------------------------------------------------------------------------
+
+
+def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
+                   mtot: float):
+    """Returns iterate(consts..., carry...) -> new carry + gap, all
+    batch-last arrays with trailing tile axis T. Static: plan/cfg/dims."""
+    topo = plan.topo
+    n, d, m = topo.n, topo.d, topo.m
+    Nc = nFx + 1
+    levels = build_levels(plan)
+    totalu = topo.totalu
+    # constrained x nodes (per level: first l of each branch) — static ranges
+    cx_parts = [(mt, slice(mt.x0, mt.x1)) for mt in levels]
+
+    def cx_gather(x_f):
+        """x at constrained nodes (totalu, n, T) from flat x (totalx, n, T)."""
+        parts = []
+        for mt in levels:
+            xb = _xblk(x_f, mt)
+            parts.append(xb[:, :mt.l].reshape(mt.nb * mt.l, n, -1))
+        return jnp.concatenate(parts, axis=0)
+
+    def term_gather(x_f):
+        mt = levels[-1]
+        xb = _xblk(x_f, mt)
+        # NB: positive-offset slice — a negative int index lowers via
+        # dynamic_slice, which Mosaic does not implement
+        return jnp.squeeze(xb[:, mt.lx - 1:mt.lx], axis=1)  # (n_leaves, n, T)
+
+    def iterate(
+        # constants (per solve); Fx (nFx, n), Fu (nFu, d), bu (1, nFu)
+        Qx2, qx, Ru2, qu, Dab2, qterm, Pterm2, slack_lin, slack_quad,
+        A_st, B_st, dh, b1, Fx, Fu, bu,
+        # carry
+        x_c, u_c, s_c, sl1, lam1, sl2, lam2, sl3, lam3,
+    ):
+        dtype = x_c.dtype
+        T = x_c.shape[-1]
+        w_max_eff = cfg.w_max if dtype == jnp.float64 else min(cfg.w_max, 1e6)
+
+        FxFx = Fx[:, :, None] * Fx[:, None, :]            # (nFx, n, n)
+        FuFu = Fu[:, :, None] * Fu[:, None, :]            # (nFu, d, d)
+
+        def row_mul(xv):
+            """(totalu, n, T) → rows (totalu, Nc, T): [−dh·x; Fx x]."""
+            r0 = -jnp.sum(dh * xv, axis=1, keepdims=True)
+            rr = jnp.sum(Fx[None, :, :, None] * xv[:, None, :, :], axis=2)
+            return jnp.concatenate([r0, rr], axis=1)
+
+        def row_mulT(v):
+            # NB: slice-first, then None-expand — a [] mixing None with a
+            # non-full slice takes jnp's advanced-indexing path (gather).
+            out = -dh * v[:, 0:1, :]
+            return out + jnp.sum(
+                Fx[None, :, :, None] * v[:, 1:][:, :, None, :], axis=1)
+
+        def row_quad(coefs):
+            """(totalu, Nc, T) → Σ_r coef_r F_r F_rᵀ (totalu, n, n, T)."""
+            out = (coefs[:, 0:1][:, :, None, :]
+                   * dh[:, :, None, :] * dh[:, None, :, :])
+            return out + jnp.sum(
+                coefs[:, 1:][:, :, None, None, :]
+                * FxFx[None, :, :, :, None], axis=1)
+
+        def fu_mul(uv):
+            return jnp.sum(Fu[None, :, :, None] * uv[:, None, :, :], axis=2)
+
+        def fu_mulT(v):
+            return jnp.sum(Fu[None, :, :, None] * v[:, :, None, :], axis=1)
+
+        def sum_lane(v):
+            """Reduce all but the lane axis → (1, T). Kept 2D (Mosaic can't
+            tile rank-1 operands/outputs across the grid)."""
+            s = jnp.sum(v, axis=tuple(range(v.ndim - 1)), keepdims=True)
+            return s.reshape(1, s.shape[-1])
+
+        def min_lane(v):
+            s = jnp.min(v, axis=tuple(range(v.ndim - 1)), keepdims=True)
+            return s.reshape(1, s.shape[-1])
+
+        cxv = cx_gather(x_c)
+        rows1 = row_mul(cxv) - s_c
+        rows2 = fu_mul(u_c)
+        r1 = rows1 + sl1 - b1
+        r2 = rows2 + sl2 - bu[:, :, None]
+        r3 = -s_c + sl3
+        gap = (sum_lane(sl1 * lam1) + sum_lane(sl2 * lam2)
+               + sum_lane(sl3 * lam3)) / mtot               # (T,)
+
+        # --- barrier-weighted factorization -------------------------------
+        clampw = lambda w: jnp.minimum(w, w_max_eff)
+        w1 = clampw(lam1 / sl1)
+        w2 = clampw(lam2 / sl2)
+        w3 = clampw(lam3 / sl3)
+        kap = slack_quad + w1 + w3 + cfg.reg
+        coefs = w1 - w1 * w1 / kap
+        eye_n = jnp.eye(n, dtype=dtype)[None, :, :, None]
+        Qx2_eff = Qx2 + row_quad(coefs) + cfg.reg * eye_n
+        # Ru2_eff = Ru2 + Σ_r w2_r Fu_r Fu_rᵀ + reg I
+        Ru2_eff = Ru2 + cfg.reg * jnp.eye(d, dtype=dtype)[None, :, :, None]
+        Ru2_eff = Ru2_eff + jnp.sum(
+            w2[:, :, None, None, :] * FuFu[None, :, :, :, None], axis=1)
+        Pterm2_eff = Pterm2 + cfg.reg * eye_n
+        K_l, Hinv_l, Acl_l = _factor_blocks(
+            levels, Qx2_eff, Dab2, Ru2_eff, Pterm2_eff, A_st, B_st,
+            n, d, m, cfg.reg,
+        )
+
+        def kkt_solve(qx_r, qu_r, qterm_r, qs_r):
+            qx_eff = qx_r + row_mulT((w1 / kap) * qs_r)
+            kff_l = _linear_blocks(levels, K_l, Hinv_l, Acl_l, B_st,
+                                   qx_eff, qu_r, qterm_r, n, d, m)
+            dx, du = _forward_blocks(levels, K_l, Hinv_l, Acl_l, B_st, kff_l,
+                                     n, d, m, dtype, T)
+            dsv = (w1 * row_mul(cx_gather(dx)) - qs_r) / kap
+            return dx, du, dsv
+
+        # --- dual residuals ------------------------------------------------
+        def qx2_mv(M, v):
+            return jnp.sum(M * v[:, None, :, :], axis=2)
+
+        rd_x = qx2_mv(Qx2, cxv) + qx + row_mulT(lam1)
+        rd_u0 = qx2_mv(Ru2, u_c) + qu + fu_mulT(lam2)
+        # rate-edge terms: edge (pred(j) → j) contributes Dab2_jᵀ u_pred to
+        # grad_j and Dab2_j u_j to grad_pred. All edges are static in the
+        # level-blocked layout: within-branch = shift by one step; cross-level
+        # = parent-last ↔ child-first. Accumulated per level block, then
+        # assembled by one concatenation (no scatters).
+        def bmtv(Mb, vb):
+            # blockwise Mᵀ v: (nb, l, k, i, T), (nb, l, k, T) → (nb, l, i, T)
+            return jnp.sum(Mb * vb[:, :, :, None, :], axis=2)
+
+        def bmv(Mb, vb):
+            # blockwise M v: (nb, l, i, k, T), (nb, l, k, T) → (nb, l, i, T)
+            return jnp.sum(Mb * vb[:, :, None, :, :], axis=3)
+
+        edge_blocks = []
+        for k in range(len(levels)):
+            mt = levels[k]
+            Dab_b = _ublk(Dab2, mt)                       # (nb, l, d, d, T)
+            u_b = _ublk(u_c, mt)                          # (nb, l, d, T)
+            zslot = jnp.zeros_like(u_b[:, 0:1])
+            # forward edge terms (grad_j ← Dab2_jᵀ u_pred(j)): slot 0 from the
+            # parent's last input (cross-level), slots 1..l−1 within-branch
+            if k > 0:
+                mtp = levels[k - 1]
+                up_b = _ublk(u_c, mtp)
+                up_last = _repeat0(
+                    jnp.squeeze(up_b[:, mtp.l - 1:mtp.l], axis=1), m)  # (nb,d,T)
+                first = bmtv(Dab_b[:, 0:1], up_last[:, None])
+            else:
+                first = zslot
+            fwd = [first]
+            if mt.l > 1:
+                fwd.append(bmtv(Dab_b[:, 1:], u_b[:, :-1]))
+            # backward edge terms (grad_pred ← Dab2_j u_j): slots 0..l−2 from
+            # within-branch successors, slot l−1 from the children's first edge
+            if k + 1 < len(levels):
+                mtc = levels[k + 1]
+                Dab_c = _ublk(Dab2, mtc)
+                u_cb = _ublk(u_c, mtc)
+                child_bwd = bmv(Dab_c[:, 0:1], u_cb[:, 0:1])      # (nbc,1,d,T)
+                last = _fold0(child_bwd, m)                       # (nb,1,d,T)
+            else:
+                last = zslot
+            bwd = []
+            if mt.l > 1:
+                bwd.append(bmv(Dab_b[:, 1:], u_b[:, 1:]))
+            bwd.append(last)
+            acc = (jnp.concatenate(fwd, axis=1) if len(fwd) > 1 else fwd[0]) \
+                + (jnp.concatenate(bwd, axis=1) if len(bwd) > 1 else bwd[0])
+            edge_blocks.append(acc.reshape(mt.nb * mt.l, d, -1))
+        rd_u = rd_u0 + jnp.concatenate(edge_blocks, axis=0)
+        rd_s = slack_quad * s_c + slack_lin[:, None, :] - lam1 - lam3
+        rd_term = qx2_mv(Pterm2, term_gather(x_c)) + qterm
+
+        def direction(rc1, rc2, rc3):
+            ex1 = (-rc1 + lam1 * r1) / sl1
+            ex2 = (-rc2 + lam2 * r2) / sl2
+            ex3 = (-rc3 + lam3 * r3) / sl3
+            qx_r = rd_x + row_mulT(ex1)
+            qu_r = rd_u + fu_mulT(ex2)
+            qs_r = rd_s - ex1 - ex3
+            dx, du, dsv = kkt_solve(qx_r, qu_r, rd_term, qs_r)
+            drow1 = row_mul(cx_gather(dx)) - dsv
+            drow2 = fu_mul(du)
+            dsl1 = -r1 - drow1
+            dsl2 = -r2 - drow2
+            dsl3 = -r3 + dsv
+            dlam1 = (-rc1 - lam1 * dsl1) / sl1
+            dlam2 = (-rc2 - lam2 * dsl2) / sl2
+            dlam3 = (-rc3 - lam3 * dsl3) / sl3
+            return dx, du, dsv, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3
+
+        da = direction(sl1 * lam1, sl2 * lam2, sl3 * lam3)
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+            return jnp.minimum(1.0, min_lane(ratio))
+
+        def all_step(dirs):
+            (_, _, _, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3) = dirs
+            a = jnp.minimum(max_step(sl1, dsl1), max_step(lam1, dlam1))
+            a = jnp.minimum(a, jnp.minimum(max_step(sl2, dsl2),
+                                           max_step(lam2, dlam2)))
+            a = jnp.minimum(a, jnp.minimum(max_step(sl3, dsl3),
+                                           max_step(lam3, dlam3)))
+            return a
+
+        a_aff = all_step(da)
+        (_, _, _, dsl1a, dlam1a, dsl2a, dlam2a, dsl3a, dlam3a) = da
+        gap_aff = (
+            sum_lane((sl1 + a_aff * dsl1a) * (lam1 + a_aff * dlam1a))
+            + sum_lane((sl2 + a_aff * dsl2a) * (lam2 + a_aff * dlam2a))
+            + sum_lane((sl3 + a_aff * dsl3a) * (lam3 + a_aff * dlam3a))
+        ) / mtot
+        sigma_c = jnp.clip((gap_aff / (gap + 1e-30)) ** 3, 0.0, 1.0)
+
+        dc = direction(
+            sl1 * lam1 + dsl1a * dlam1a - sigma_c * gap,
+            sl2 * lam2 + dsl2a * dlam2a - sigma_c * gap,
+            sl3 * lam3 + dsl3a * dlam3a - sigma_c * gap,
+        )
+        a0 = cfg.tau * all_step(dc)
+        a0 = jnp.where(gap < cfg.gap_tol * (1.0 + jnp.abs(gap)), 0.0, a0)
+        (dx, du, dsv, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3) = dc
+
+        def gap_at(a):
+            return (
+                sum_lane((sl1 + a * dsl1) * (lam1 + a * dlam1))
+                + sum_lane((sl2 + a * dsl2) * (lam2 + a * dlam2))
+                + sum_lane((sl3 + a * dsl3) * (lam3 + a * dlam3))
+            ) / mtot
+
+        grow = 10.0 * gap + 1e-10
+        a1 = jnp.where(gap_at(a0) > grow, 0.3 * a0, a0)
+        a = jnp.where(gap_at(a1) > grow, 0.3 * a1, a1)
+
+        return (
+            x_c + a * dx, u_c + a * du, s_c + a * dsv,
+            sl1 + a * dsl1, lam1 + a * dlam1,
+            sl2 + a * dsl2, lam2 + a * dlam2,
+            sl3 + a * dsl3, lam3 + a * dlam3,
+            gap,
+        )
+
+    return iterate
+
+
+# ---------------------------------------------------------------------------
+# Solve driver: init + scan over fused iterations (+ optional Pallas)
+# ---------------------------------------------------------------------------
+
+
+CARRY_FIELDS = 9  # x, u, s, sl1, lam1, sl2, lam2, sl3, lam3
+
+
+def _prep_consts(plan: StagePlan, cost: StageCost, A_bl, B_bl, dh_bl, h0_bl,
+                 Fx, bx, Fu, bu):
+    """One-time XLA prep: per-stage successor gathers + b1 assembly.
+    cost is batch-last (``cost_to_bl``)."""
+    topo = plan.topo
+    dtype = A_bl.dtype
+    totalu = topo.totalu
+    nFx = np.asarray(Fx).shape[0]
+    # per-stage successor transitions (the only gather, amortized per solve);
+    # flat stage order is level-major branch-major step-ascending
+    sx_all = np.zeros(totalu, dtype=np.int64)
+    for k in range(topo.NB + 1):
+        si = plan.stage_idx[k]     # (l, nb)
+        sx = plan.succ_x_idx[k]
+        sx_all[si.T.reshape(-1)] = sx.T.reshape(-1)
+    A_st = A_bl[sx_all]
+    B_st = B_bl[sx_all]
+    b1 = jnp.concatenate(
+        [h0_bl[:, None, :],
+         jnp.broadcast_to(jnp.asarray(bx, dtype)[None, :, None],
+                          (totalu, nFx, h0_bl.shape[-1]))], axis=1)
+    # shared (lane-independent) small arrays are kept 2D for TPU tiling
+    return dict(
+        Qx2=cost.Qx2, qx=cost.qx, Ru2=cost.Ru2, qu=cost.qu, Dab2=cost.Dab2,
+        qterm=cost.qterm, Pterm2=cost.Pterm2, slack_lin=cost.slack_lin,
+        # (1, Z): rank-1 arrays can't be lane-tiled across the Pallas grid
+        slack_quad=jnp.reshape(jnp.asarray(cost.slack_quad, dtype), (1, -1)),
+        A_st=A_st, B_st=B_st, dh=dh_bl, b1=b1,
+        Fx=jnp.asarray(Fx, dtype),
+        Fu=jnp.asarray(Fu, dtype),
+        bu=jnp.asarray(bu, dtype).reshape(1, -1),
+    )
+
+
+CONST_ORDER = ["Qx2", "qx", "Ru2", "qu", "Dab2", "qterm", "Pterm2",
+               "slack_lin", "slack_quad", "A_st", "B_st", "dh", "b1",
+               "Fx", "Fu", "bu"]
+
+
+@_f32_precision
+def qp_ipm_solve_pl(
+    plan: StagePlan,
+    cost: StageCost,
+    A_bl, B_bl, C_bl,
+    dh_bl, h0_bl,
+    Fx, bx, Fu, bu,
+    x_warm_bl, u_warm_bl,
+    cfg: QPIPMConfig = QPIPMConfig(),
+    use_pallas: bool = True,
+    tile_b: int = 256,
+):
+    """Fused-iteration IPM, batch-last interface identical to
+    ``tree_qp_bl.qp_ipm_solve_bl``. ``use_pallas=False`` runs the same
+    level-blocked iteration as plain XLA (CPU/debug path)."""
+    topo = plan.topo
+    n, d = topo.n, topo.d
+    totalu = topo.totalu
+    dtype = x_warm_bl.dtype
+    Z = x_warm_bl.shape[-1]
+    nFx = np.asarray(Fx).shape[0]
+    nFu = np.asarray(Fu).shape[0]
+    Nc = nFx + 1
+    mtot = float(totalu * Nc + totalu * nFu + totalu * Nc)
+
+    consts = _prep_consts(plan, cost, A_bl, B_bl, dh_bl, h0_bl, Fx, bx, Fu, bu)
+    iterate = make_iteration(plan, cfg, nFx, nFu, mtot)
+    levels = build_levels(plan)
+
+    # --- init (same as qp_ipm_solve) --------------------------------------
+    def cx_gather(x_f):
+        parts = []
+        for mt in levels:
+            xb = _xblk(x_f, mt)
+            parts.append(xb[:, :mt.l].reshape(mt.nb * mt.l, n, -1))
+        return jnp.concatenate(parts, axis=0)
+
+    x_i = x_warm_bl
+    u_i = u_warm_bl
+    s_i = jnp.zeros((totalu, Nc, Z), dtype)
+    dh = consts["dh"]
+    b1 = consts["b1"]
+
+    def row_mul(xv):
+        r0 = -jnp.sum(dh * xv, axis=1, keepdims=True)
+        rr = [jnp.sum(consts["Fx"][r][None, :, None] * xv, axis=1, keepdims=True)
+              for r in range(nFx)]
+        return jnp.concatenate([r0] + rr, axis=1)
+
+    def fu_mul(uv):
+        rr = [jnp.sum(consts["Fu"][r][None, :, None] * uv, axis=1, keepdims=True)
+              for r in range(nFu)]
+        return jnp.concatenate(rr, axis=1)
+
+    rows1 = row_mul(cx_gather(x_i)) - s_i
+    sl1 = jnp.maximum(b1 - rows1, cfg.sl_min)
+    lam1 = cfg.mu0 / sl1
+    sl2 = jnp.maximum(consts["bu"][:, :, None] - fu_mul(u_i), cfg.sl_min)
+    lam2 = cfg.mu0 / sl2
+    sl3 = jnp.maximum(s_i, cfg.sl_min)
+    lam3 = cfg.mu0 / sl3
+
+    carry0 = (x_i, u_i, s_i, sl1, lam1, sl2, lam2, sl3, lam3)
+    const_args = [consts[k] for k in CONST_ORDER]
+
+    if use_pallas:
+        step_fn = _make_pallas_iteration(plan, cfg, nFx, nFu, mtot, n, d,
+                                         topo.totalx, totalu, Nc, dtype,
+                                         tile_b)
+    else:
+        def step_fn(*args):
+            return iterate(*args)
+
+    def scan_body(state, _):
+        (carry, best) = state
+        out = step_fn(*const_args, *carry)
+        new_carry = out[:CARRY_FIELDS]
+        gap = out[CARRY_FIELDS].reshape(-1)               # (1, Z) or (Z,) → (Z,)
+        (bx_, bu_, bs_, bgap) = best
+        better = gap < bgap
+        best_new = (
+            jnp.where(better, carry[0], bx_), jnp.where(better, carry[1], bu_),
+            jnp.where(better, carry[2], bs_), jnp.where(better, gap, bgap),
+        )
+        return (new_carry, best_new), gap
+
+    best0 = (x_i, u_i, s_i, jnp.full((Z,), np.inf, dtype))
+    (carry_f, best_f), gaps = jax.lax.scan(
+        scan_body, (carry0, best0), None, length=cfg.iters)
+    gap_last = gaps[-1]
+    bx_, bu_, bs_, bgap = best_f
+    use_last = gap_last <= bgap
+    x_f = jnp.where(use_last, carry_f[0], bx_)
+    u_f = jnp.where(use_last, carry_f[1], bu_)
+    s_f = jnp.where(use_last, carry_f[2], bs_)
+    gap_f = jnp.where(use_last, gap_last, bgap)
+    rows1 = row_mul(cx_gather(x_f)) - s_f
+    rows2 = fu_mul(u_f)
+    prim = jnp.maximum(
+        jnp.max(jnp.maximum(rows1 - b1, 0.0), axis=(0, 1)),
+        jnp.maximum(
+            jnp.max(jnp.maximum(rows2 - consts["bu"][:, :, None], 0.0),
+                    axis=(0, 1)),
+            jnp.max(jnp.maximum(-s_f, 0.0), axis=(0, 1)),
+        ),
+    )
+    aux = {"prim_res": prim, "gap": gap_f, "gaps": gaps}
+    return x_f, u_f, s_f, aux
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrapper: one kernel per iteration, gridded over batch tiles
+# ---------------------------------------------------------------------------
+
+
+def _make_pallas_iteration(plan, cfg, nFx, nFu, mtot, n, d, totalx, totalu,
+                           Nc, dtype, tile_b):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    iterate = make_iteration(plan, cfg, nFx, nFu, mtot)
+    nd = n + d
+    n_leaves = len(plan.leaf_ids)
+
+    # shapes of the batch-tiled arrays (trailing axis tiled); shared arrays
+    # (Fx, bx, Fu, bu) are passed whole to every program.
+    tiled_const = {
+        "Qx2": (totalu, n, n), "qx": (totalu, n), "Ru2": (totalu, d, d),
+        "qu": (totalu, d), "Dab2": (totalu, d, d), "qterm": (n_leaves, n),
+        "Pterm2": (n_leaves, n, n), "slack_lin": (totalu,),
+        "slack_quad": (1,), "A_st": (totalu, n, n), "B_st": (totalu, n, d),
+        "dh": (totalu, n), "b1": (totalu, Nc),
+    }
+    shared_const = {"Fx": (nFx, n), "Fu": (nFu, d), "bu": (1, nFu)}
+    carry_shapes = [
+        (totalx, n), (totalu, d), (totalu, Nc),
+        (totalu, Nc), (totalu, Nc), (totalu, nFu), (totalu, nFu),
+        (totalu, Nc), (totalu, Nc),
+    ]
+
+    def kernel(*refs):
+        nconst = len(CONST_ORDER)
+        const_vals = []
+        for name, ref in zip(CONST_ORDER, refs[:nconst]):
+            const_vals.append(ref[...])
+        carry_vals = [r[...] for r in refs[nconst:nconst + CARRY_FIELDS]]
+        outs = iterate(*const_vals, *carry_vals)
+        out_refs = refs[nconst + CARRY_FIELDS:]
+        for r, v in zip(out_refs, outs):
+            r[...] = v
+
+    def step_fn(*args):
+        Z = args[len(CONST_ORDER)].shape[-1]          # x_c trailing dim
+        grid = (Z // tile_b,) if Z % tile_b == 0 else None
+        if grid is None or Z < tile_b:
+            grid = (1,)
+            tb = Z
+        else:
+            tb = tile_b
+
+        in_specs = []
+        for name in CONST_ORDER:
+            if name in tiled_const:
+                base = tiled_const[name]
+                blk = base + (tb,)
+                idx = (lambda nb_dims: (lambda i: (0,) * nb_dims + (i,)))(len(base))
+                in_specs.append(pl.BlockSpec(blk, idx,
+                                             memory_space=pltpu.ANY
+                                             if False else pltpu.VMEM))
+            else:
+                shp = shared_const[name]
+                in_specs.append(pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                             memory_space=pltpu.VMEM))
+        for shp in carry_shapes:
+            blk = shp + (tb,)
+            idx = (lambda nb_dims: (lambda i: (0,) * nb_dims + (i,)))(len(shp))
+            in_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
+
+        out_specs = []
+        out_shapes = []
+        for shp in carry_shapes:
+            blk = shp + (tb,)
+            idx = (lambda nb_dims: (lambda i: (0,) * nb_dims + (i,)))(len(shp))
+            out_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct(shp + (Z,), dtype))
+        # gap (1, Z) — kept 2D across the kernel boundary
+        out_specs.append(pl.BlockSpec((1, tb), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((1, Z), dtype))
+
+        try:
+            cparams = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        except TypeError:  # older pallas: TPUCompilerParams
+            cparams = pltpu.TPUCompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            compiler_params=cparams,
+        )(*args)
+
+    return step_fn

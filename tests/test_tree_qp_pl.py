@@ -1,0 +1,58 @@
+"""Fused level-blocked IPM iteration (solvers/tree_qp_pl) vs the scan-based
+batch-last solver.
+
+``qp_ipm_solve_pl(use_pallas=False)`` must be the same algorithm as
+``qp_ipm_solve_bl`` — identical Mehrotra iteration, level-blocked layout and
+Python-unrolled recursions instead of gathers + lax.scan — so two
+receding-horizon steps over a batch of perturbed overtake states must agree to
+solver precision in f64. (The ``use_pallas=True`` path wraps the identical
+iteration in one Pallas TPU kernel; it cannot run on CPU and is covered by the
+TPU bench.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from belief_planning_tpu.controllers.branch_mpc import (
+    make_branch_mpc_batched_step,
+)
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+from tests.test_tree_qp import overtake_setup
+
+
+def _run(backend, steps=2, iters=14, N=4, NB=2, B=8):
+    cons, pset, model, params = overtake_setup(N=N, NB=NB)
+    ipm = QPIPMConfig(iters=iters)
+    topo, init_carry, step = make_branch_mpc_batched_step(
+        model, params, "prox", ipm=ipm, backend=backend)
+    step = jax.jit(step)
+
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(np.array([0.0, 1.8, 20.0, 0.0])
+                     + rng.normal(0, 0.1, (B, 4)))
+    zs = jnp.asarray(np.array([9.0, 1.8, 17.0, 0.0])
+                     + rng.normal(0, 0.2, (B, 4)))
+    xRefs = jnp.asarray(np.tile([0.0, 1.8, 18.0, 0.0], (B, 1)))
+
+    c = init_carry(jnp.float64)
+    carrys = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+    outs = []
+    for _ in range(steps):
+        carrys, res = step(carrys, xs, zs, xRefs, pset.params)
+        outs.append(res)
+    return outs
+
+
+def test_fused_iteration_matches_scan_solver():
+    res_bl = _run("bl")
+    res_pl = _run("pl_xla")
+    for it, (rb, rp) in enumerate(zip(res_bl, res_pl)):
+        du = np.abs(np.asarray(rb.uPred) - np.asarray(rp.uPred)).max()
+        dx = np.abs(np.asarray(rb.xPred) - np.asarray(rp.xPred)).max()
+        dp = np.abs(np.asarray(rb.prim_res) - np.asarray(rp.prim_res)).max()
+        assert du < 1e-8, f"step {it}: u mismatch {du}"
+        assert dx < 1e-7, f"step {it}: x mismatch {dx}"
+        assert dp < 1e-8, f"step {it}: prim_res mismatch {dp}"
+    assert np.all(np.asarray(res_pl[-1].feasible))
