@@ -19,6 +19,13 @@ applied-input deviation 2.6e-4 over a 10-step episode vs the 1e-3 gate;
 tests/test_controller_parity.py). History: the original centered start with
 slack floor 1.0 manufactured a ~7-iteration infeasibility transient and needed
 20 iterations for the same accuracy.
+
+Backend (BENCH_BACKEND): "pl" (default) = Pallas fused-IPM iteration kernel
+(solvers/tree_qp_pl.py, on-chip applied-input agreement with the vmapped
+solver 5e-5 cold / 1.1e-4 warm vs the 1e-3 gate); "vmap" = per-lane IPM under
+vmap (the previous bench path, 4.6k solves/s); "pl_xla" = the fused iteration
+as plain XLA. Perf history at B=2048: vmap IPM-30 1.6k → IPM-20 2.33k →
+split-row IPM 3.72k → near-feasible-start IPM-12 4.64k → Pallas kernel 21.9k.
 """
 
 import json
@@ -31,9 +38,22 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the Pallas fused-IPM kernel takes minutes
+    # to compile through the tunneled runtime; the cache (pre-warmed by the
+    # dev loop, verified to work across processes on axon) makes repeat bench
+    # runs start in seconds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
-    from belief_planning_tpu.controllers.branch_mpc import make_branch_mpc_step
+    from belief_planning_tpu.controllers.branch_mpc import (
+        make_branch_mpc_batched_step,
+        make_branch_mpc_step,
+    )
     from belief_planning_tpu.models.policies import highway_policy_set
     from belief_planning_tpu.models.predictive import highway_model
     from belief_planning_tpu.presets import init_branch_mpc
@@ -52,8 +72,19 @@ def main():
     params = init_branch_mpc(n, d, N, NB, xRef, am=6.0, rm=0.3, N_lane=4, W=cons.W)
 
     ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "12")))
-    topo, init_carry, step = make_branch_mpc_step(model, params, "prox", ipm=ipm)
-    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+    backend = os.environ.get("BENCH_BACKEND", "pl")
+    if backend == "vmap":
+        topo, init_carry, step = make_branch_mpc_step(
+            model, params, "prox", ipm=ipm)
+        vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+    else:
+        # Pallas fused-IPM iteration kernel (solvers/tree_qp_pl.py): the whole
+        # Mehrotra iteration runs in one TPU kernel over batch tiles.
+        topo, init_carry, step = make_branch_mpc_batched_step(
+            model, params, "prox", ipm=ipm, backend=backend,
+            backend_opts={"tile_b": int(os.environ.get("BENCH_TILE_B", "256"))}
+            if backend == "pl" else None)
+        vstep = jax.jit(step)
 
     B = int(os.environ.get("BENCH_BATCH", "2048"))
     dtype = jnp.float32
