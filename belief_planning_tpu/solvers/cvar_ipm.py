@@ -47,6 +47,7 @@ from belief_planning_tpu.solvers.cvar import CVaRPlan, _psd_sqrt, build_cvar_pla
 from belief_planning_tpu.solvers.tree_qp import (
     StageCost,
     _f32_precision,
+    small_dense_inv,
     tree_lqr_factor,
     tree_lqr_forward,
     tree_lqr_linear,
@@ -62,7 +63,49 @@ class CVaRIPMConfig:
     a_cap_early: float = 0.7   # step cap for the first few (cold) iterations
     early_iters: int = 6
     w_max: float = 1e12    # clamp on barrier weights λ/s (numerical safety)
+    # f32 clamp: min(w_max, w_max_f32) applies when the iterate dtype is f32.
+    # The clamp changes the Newton SYSTEM (not just its conditioning) once
+    # active-row weights exceed it — a candidate cause of the f32 stall at
+    # gap~1.5 (f64 weights pass 1e6 right around that phase).
+    w_max_f32: float = 1e6
     gap_tol: float = 1e-9  # freeze the iterate once the (scaled) gap is below
+    # Iterative-refinement rounds per structured KKT solve: after the
+    # factorized solve (tree Riccati + Woodbury + risk saddle), apply the full
+    # KKT operator in closed form (m_apply below), and re-solve on the
+    # residual. Costs one extra linear sweep pair per solve (2 per IPM
+    # iteration). Measured (2026-08-18, overtake cold-start batch, f32 TPU):
+    # does NOT fix the f32 convergence stall — the per-iteration gap
+    # trajectories for refine 0/1/2 are identical until ~it16 (steps there are
+    # fraction-to-boundary-limited, not direction-limited), and the late-phase
+    # stall at gap~1.5 persists (refine=2 tames the worst gap excursions:
+    # max 2.3e3 → 3.4e2, but p50 unchanged). Kept for targeted use; default
+    # off. See scripts/cvar_f32_diag.py.
+    refine: int = 0
+    # Residual precision for refinement rounds: "same" computes M·v + q in the
+    # iterate dtype; "f64" computes it in float64 (requires jax_enable_x64 —
+    # silently falls back to f32 otherwise). Mixed-precision refinement (f32
+    # factorization + f64 residuals) is the classical cure for the κ·eps32
+    # forward-error wall: same-precision residuals only restore backward
+    # stability, they cannot recover forward accuracy once κ(KKT)·eps32 ≳ 1,
+    # which is exactly the late-phase stall measured in f32 (gap pinned ~1.5
+    # while f64 converges to 1e-5 from the same iterate — cvar_f32_diag.py).
+    refine_dtype: str = "same"
+    # Outer-iteration precision: "same" runs everything in the iterate dtype;
+    # "f64" carries the IPM state and ALL elementwise step mechanics
+    # (residuals, dual/slack recovery dλ = (−rc − λ·dsl)/sl, σ, fraction-to-
+    # boundary ratios) in float64, while the heavy structured solves (tree
+    # Riccati factor/sweeps, Woodbury, risk-saddle inverse) stay in the
+    # iterate dtype (f32 on TPU, where f64 LU is unsupported and f64 matmul is
+    # emulated/slow). Requires jax_enable_x64 — silently falls back otherwise.
+    # Motivation (measured, scripts/cvar_f32_diag.py, overtake cold batch):
+    # the f32 stall at gap~1.5 is NOT direction noise — it is the f32 dual-
+    # step recovery: cancellation in (−rc − λ·dsl) amplified by 1/sl produces
+    # junk dλ components once slacks get small, and the fraction-to-boundary
+    # rule then blocks every step (α→1e-9..0 from it~18) while f64 takes
+    # α~0.6 steps at the SAME iterate. f64 hits the identical collapse only
+    # at its own floor (gap~2e-5, it~36 — benign). The elementwise outer ops
+    # are O(totalu·Nc) — negligible even emulated.
+    outer_dtype: str = "same"
     # Slack floor of the starting point (see solvers/tree_qp_ipm.py — the same
     # near-feasible-start finding): sl = max(b - rows, sl_min) keeps the
     # (typically strictly feasible) rolled-out primal nearly feasible instead
@@ -93,7 +136,14 @@ def cvar_ipm_solve(
     bdim = cplan.bdim
     nrisk = cplan.nrisk
     K = bdim * m                       # number of child cones
-    dtype = ts.x_lin.dtype
+    sdt = ts.x_lin.dtype               # solve dtype (factorizations, sweeps)
+    use_f64_outer = (
+        cfg.outer_dtype == "f64"
+        and jax.config.jax_enable_x64
+        and sdt != jnp.float64
+    )
+    # `dtype` below = OUTER dtype: iterate state + all elementwise mechanics.
+    dtype = jnp.float64 if use_f64_outer else sdt
 
     Q = jnp.asarray(Q, dtype)
     R = jnp.asarray(R, dtype)
@@ -118,7 +168,7 @@ def cvar_ipm_solve(
     cx = -2.0 * (Q @ xRef)
     cconst = xRef @ Q @ xRef
 
-    dh = ts.dh
+    dh = jnp.asarray(ts.dh, dtype)
     if S is not None:
         d0 = dh[:, 0]
         d0 = jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0))
@@ -127,7 +177,8 @@ def cvar_ipm_solve(
         [-dh[:, None, :], jnp.broadcast_to(Fx_used, (totalu, nFx, n))], axis=1
     )
     b1 = jnp.concatenate(
-        [ts.h0[:, None], jnp.broadcast_to(bx, (totalu, nFx))], axis=1
+        [jnp.asarray(ts.h0, dtype)[:, None],
+         jnp.broadcast_to(bx, (totalu, nFx))], axis=1
     )
 
     # static maps ----------------------------------------------------------
@@ -226,8 +277,8 @@ def cvar_ipm_solve(
         return gu
 
     # -- initial point (dynamics- and risk-equality-feasible) --------------
-    x_i = ts.x_lin
-    u_i = ts.u_lin
+    x_i = jnp.asarray(ts.x_lin, dtype)
+    u_i = jnp.asarray(ts.u_lin, dtype)
     s_i = jnp.zeros((totalu, Nc), dtype)
     r_i = jnp.zeros((nrisk,), dtype)
 
@@ -250,7 +301,10 @@ def cvar_ipm_solve(
     lq = mu0 / sq
 
     mtot = float(sl1.size + sl2.size + sl3.size + nsgn + K)
-    w_max_eff = cfg.w_max if dtype == jnp.float64 else min(cfg.w_max, 1e6)
+    # clamp is set by the SOLVE dtype: it protects the f32 factorization, not
+    # the (possibly f64) outer arithmetic
+    w_max_eff = (cfg.w_max if sdt == jnp.float64
+                 else min(cfg.w_max, cfg.w_max_f32))
 
     def newton_factor(x_nodes, u, s, lam1_, sl1_, lam2_, sl2_, lam3_, sl3_,
                       lam4_, sl4_, lq_, sq_):
@@ -276,20 +330,23 @@ def cvar_ipm_solve(
         w3 = clampw(lam3_ / sl3_)         # (totalu, Nc)
         kap = w1 + w3 + cfg.reg           # s-row elimination denominators
         coefs = w1 - w1 * w1 / kap        # effective per-row x weights
-        Qx2 = Qx2 + jnp.einsum("br,bri,brj->bij", coefs, Fxc, Fxc)
-        Qx2 = Qx2 + cfg.reg * jnp.eye(n, dtype=dtype)[None]
+        Hx_nc = Qx2 + cfg.reg * jnp.eye(n, dtype=dtype)[None]  # x-block w/o row coupling
+        Qx2 = Hx_nc + jnp.einsum("br,bri,brj->bij", coefs, Fxc, Fxc)
         Ru2 = Ru2 + jnp.einsum("br,ri,rj->bij", w2, Fu, Fu)
         Ru2 = Ru2 + cfg.reg * jnp.eye(d, dtype=dtype)[None]
         Pterm2 = jnp.broadcast_to(
             cfg.reg * jnp.eye(n, dtype=dtype), (len(plan.leaf_ids), n, n)
         )
-        zeros_u = jnp.zeros((totalu, d, d), dtype)
+        # the factorization and its sweeps run in the solve dtype (f32 on TPU)
+        zeros_u = jnp.zeros((totalu, d, d), sdt)
         cost = StageCost(
-            Qx2=Qx2, qx=jnp.zeros((totalu, n), dtype), Ru2=Ru2,
-            qu=jnp.zeros((totalu, d), dtype), Daa2=zeros_u, Dab2=zeros_u,
-            Pterm2=Pterm2, qterm=jnp.zeros((len(plan.leaf_ids), n), dtype),
-            slack_lin=jnp.zeros((totalu,), dtype),
-            slack_quad=jnp.asarray(0.0, dtype),
+            Qx2=jnp.asarray(Qx2, sdt), qx=jnp.zeros((totalu, n), sdt),
+            Ru2=jnp.asarray(Ru2, sdt),
+            qu=jnp.zeros((totalu, d), sdt), Daa2=zeros_u, Dab2=zeros_u,
+            Pterm2=jnp.asarray(Pterm2, sdt),
+            qterm=jnp.zeros((len(plan.leaf_ids), n), sdt),
+            slack_lin=jnp.zeros((totalu,), sdt),
+            slack_quad=jnp.asarray(0.0, sdt),
         )
         fac = tree_lqr_factor(plan, cost, ts)
 
@@ -302,18 +359,20 @@ def cvar_ipm_solve(
         Krk = Krk.at[:nrisk, nrisk:].set(Req.T)
         Krk = Krk.at[nrisk:, :nrisk].set(Req)
         Krk = Krk.at[nrisk:, nrisk:].set(-cfg.reg * jnp.eye(bdim, dtype=dtype))
-        Krk_inv = jnp.linalg.inv(Krk)
+        # f64 LU is unsupported on TPU; the inverse stays in the solve dtype
+        # (refinement at the kkt_solve level recovers outer-dtype accuracy)
+        Krk_inv = small_dense_inv(jnp.asarray(Krk, sdt))
 
         gx, gu, gs = cone_grads(x_nodes, u, s)
 
         def h0_apply(qx, qu, qs, qrisk, response=True):
             qx_eff = qx + jnp.einsum("brn,br->bn", Fxc, (w1 / kap) * qs)
             kff = tree_lqr_linear(
-                plan, fac, qx_eff, qu,
-                jnp.zeros((len(plan.leaf_ids), n), dtype), affine=False,
+                plan, fac, jnp.asarray(qx_eff, sdt), jnp.asarray(qu, sdt),
+                jnp.zeros((len(plan.leaf_ids), n), sdt), affine=False,
             )
             xr, ur = tree_lqr_forward(
-                plan, fac, kff, jnp.zeros((n,), dtype), jnp.zeros((d,), dtype),
+                plan, fac, kff, jnp.zeros((n,), sdt), jnp.zeros((d,), sdt),
                 affine=False,
             )
             sr = (jnp.einsum("br,brn,bn->br", w1, Fxc, xr[cx_nodes]) - qs) / kap
@@ -342,16 +401,12 @@ def cvar_ipm_solve(
         GtZ = jax.vmap(lambda a, b, c, e: gdot(a, b, c, e))(Zx, Zu, Zs, Zr)
         wq = jnp.minimum(lq_ / sq_, w_max_eff)
         # φ = (I − GᵀZ·diag(wq))⁻¹ gᵀa  per Woodbury on H0 + Σ wq_k g_k g_kᵀ
-        Wm = jnp.linalg.inv(jnp.eye(K, dtype=dtype) - GtZ * wq[None, :])
+        Wm = small_dense_inv(
+            jnp.asarray(jnp.eye(K, dtype=dtype) - GtZ * wq[None, :], sdt))
 
-        def kkt_solve(qx, qu, qs, qrisk, extra_g):
-            """Solve (H0 + Σ wq g gᵀ) dv = −(q + Σ extra_g_k g_k) with dynamics/
-            risk equalities homogeneous. extra_g: (K,) coefficients of g_k in
-            the rhs (from the eliminated cone duals)."""
-            qx2 = qx + jnp.einsum("k,kjn->jn", extra_g, gx)
-            qu2 = qu + jnp.einsum("k,kjd->jd", extra_g, gu)
-            qs2 = qs + jnp.einsum("k,kjc->jc", extra_g, gs)
-            qr2 = qrisk + extra_g @ f_risk_j
+        def base_solve(qx2, qu2, qs2, qr2):
+            """(H0 + Σ wq g gᵀ)⁻¹ applied to −q (projected): factorized tree
+            solve + Woodbury correction for the cone outer products."""
             ax, au, as_, ar = h0_apply(qx2, qu2, qs2, qr2)
             phi0 = gdot(ax, au, as_, ar)
             phi = Wm @ phi0
@@ -360,6 +415,61 @@ def cvar_ipm_solve(
             du = au + jnp.einsum("k,kjd->jd", corr, Zu)
             dsv = as_ + jnp.einsum("k,kjc->jc", corr, Zs)
             dr = ar + corr @ Zr
+            return dx, du, dsv, dr
+
+        w3reg = w3 + cfg.reg
+        rdt = jnp.float64 if cfg.refine_dtype == "f64" else dtype
+
+        def m_apply(dx, du, dsv, dr):
+            """Closed-form apply of the full KKT operator M = H0 + Σ wq g gᵀ
+            over (x, u, s, r). Used only for iterative-refinement residuals;
+            the direct apply is far more accurate than the factorized inverse
+            (no f32 error accumulation through Riccati/Woodbury chains), and
+            with refine_dtype="f64" it runs in float64 (mixed-precision
+            refinement — the operator data stays f32-valued, the arithmetic is
+            exact to f64). Terminal leaf x-nodes carry only reg·I and are
+            omitted — their residual is O(reg·|x|), below refinement scale."""
+            c = lambda a: jnp.asarray(a, rdt)
+            dx, du, dsv, dr = c(dx), c(du), c(dsv), c(dr)
+            Fxc_r, gx_r, gu_r, gs_r, fr_r = c(Fxc), c(gx), c(gu), c(gs), c(f_risk_j)
+            xc = dx[cx_nodes]
+            rowx = jnp.einsum("brn,bn->br", Fxc_r, xc) - dsv   # Fxc·x − s
+            hx = jnp.einsum("bij,bj->bi", c(Hx_nc), xc)
+            hx = hx + jnp.einsum("brn,br->bn", Fxc_r, c(w1) * rowx)
+            hu = jnp.einsum("bij,bj->bi", c(Ru2), du)
+            hs = -(c(w1) * rowx) + c(w3reg) * dsv
+            hr = c(Hr) @ dr
+            cg = c(wq) * (
+                jnp.einsum("kjn,jn->k", gx_r, xc)
+                + jnp.einsum("kjd,jd->k", gu_r, du)
+                + jnp.einsum("kjc,jc->k", gs_r, dsv)
+                + fr_r @ dr
+            )                                                  # (K,)
+            hx = hx + jnp.einsum("k,kjn->jn", cg, gx_r)
+            hu = hu + jnp.einsum("k,kjd->jd", cg, gu_r)
+            hs = hs + jnp.einsum("k,kjc->jc", cg, gs_r)
+            hr = hr + cg @ fr_r
+            return hx, hu, hs, hr
+
+        def kkt_solve(qx, qu, qs, qrisk, extra_g):
+            """Solve (H0 + Σ wq g gᵀ) dv = −(q + Σ extra_g_k g_k) with dynamics/
+            risk equalities homogeneous. extra_g: (K,) coefficients of g_k in
+            the rhs (from the eliminated cone duals). cfg.refine rounds of
+            iterative refinement follow the factorized solve."""
+            qx2 = qx + jnp.einsum("k,kjn->jn", extra_g, gx)
+            qu2 = qu + jnp.einsum("k,kjd->jd", extra_g, gu)
+            qs2 = qs + jnp.einsum("k,kjc->jc", extra_g, gs)
+            qr2 = qrisk + extra_g @ f_risk_j
+            dx, du, dsv, dr = base_solve(qx2, qu2, qs2, qr2)
+            for _ in range(cfg.refine):
+                hx, hu, hs, hr = m_apply(dx, du, dsv, dr)
+                # residual formed in the refinement dtype, solved in f32
+                rx = jnp.asarray(hx + jnp.asarray(qx2, hx.dtype), dtype)
+                ru = jnp.asarray(hu + jnp.asarray(qu2, hu.dtype), dtype)
+                rs = jnp.asarray(hs + jnp.asarray(qs2, hs.dtype), dtype)
+                rr = jnp.asarray(hr + jnp.asarray(qr2, hr.dtype), dtype)
+                ex, eu, es, er = base_solve(rx, ru, rs, rr)
+                dx, du, dsv, dr = dx + ex, du + eu, dsv + es, dr + er
             return dx, du, dsv, dr
 
         return kkt_solve, gdot, (gx, gu, gs)
@@ -522,14 +632,20 @@ def cvar_ipm_solve(
             jnp.where(better, s_c, bs_), jnp.where(better, r_c, br_),
             jnp.where(better, gap, bgap),
         )
-        return (new, best_new), gap
+        diag = {
+            "gap": gap, "a": a, "a_aff": a_aff, "sigma": sigma_c,
+            "wmax": jnp.maximum(jnp.max(lam1_ / sl1_), jnp.max(lq_ / sq_)),
+            "prim1": jnp.max(jnp.abs(r1)), "rq": jnp.max(jnp.abs(rq)),
+        }
+        return (new, best_new), diag
 
     best0 = (x_i, u_i, s_i, r_i, jnp.asarray(np.inf, dtype))
     carry = ((x_i, u_i, s_i, r_i, sl1, lam1, sl2, lam2, sl3, lam3, sl4, lam4,
               sq, lq), best0)
-    (state_f, best_f), gaps = jax.lax.scan(
+    (state_f, best_f), diag_tr = jax.lax.scan(
         iteration, carry, jnp.arange(cfg.iters)
     )
+    gaps = diag_tr["gap"]
     # compare the final iterate with the best seen; return the better one
     gap_last = gaps[-1]
     bx_, bu_, bs_, br_, bgap = best_f
@@ -539,6 +655,11 @@ def cvar_ipm_solve(
     s_f = jnp.where(use_last, state_f[2], bs_)
     r_f = jnp.where(use_last, state_f[3], br_)
     J = obj_val(x_f, u_f, s_f, r_f)
-    aux = {"J": J, "gap": jnp.where(use_last, gap_last, bgap), "risk": r_f,
-           "gaps": gaps}
+    # return in the caller's (solve) dtype regardless of the outer dtype
+    x_f, u_f, s_f, r_f = (jnp.asarray(a, sdt) for a in (x_f, u_f, s_f, r_f))
+    aux = {"J": jnp.asarray(J, sdt),
+           "gap": jnp.asarray(jnp.where(use_last, gap_last, bgap), sdt),
+           "risk": r_f,
+           "gaps": jnp.asarray(gaps, sdt),
+           "diag": {k: jnp.asarray(v, sdt) for k, v in diag_tr.items()}}
     return x_f, u_f, s_f, r_f, aux

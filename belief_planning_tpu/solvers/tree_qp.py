@@ -89,6 +89,36 @@ def _small_inv(M):
         return inv / det[..., None, None]
     return jnp.linalg.inv(M)
 
+
+def _gj_inv(M):
+    """Gauss-Jordan inverse with partial pivoting, built from elementwise ops
+    only (no LU). Exists because XLA:TPU implements LuDecomposition only for
+    f32 — ``jnp.linalg.inv`` on float64 fails to compile on TPU, while the
+    (emulated) f64 arithmetic itself is supported. Used for the small dense
+    blocks of the f64-on-TPU CVaR path (≤ ~40×40); unrolls k elimination
+    steps, so keep it off the hot f32 paths."""
+    k = M.shape[-1]
+    A = jnp.concatenate([M, jnp.eye(k, dtype=M.dtype)], axis=-1)
+    rows = jnp.arange(k)
+    for j in range(k):
+        col = jnp.abs(A[:, j])
+        p = jnp.argmax(jnp.where(rows >= j, col, -jnp.inf))
+        perm = rows.at[j].set(p).at[p].set(j)
+        A = A[perm]
+        piv_row = A[j] / A[j, j]
+        A = A.at[j].set(piv_row)
+        factors = A[:, j].at[j].set(0.0)
+        A = A - factors[:, None] * piv_row[None, :]
+    return A[:, k:]
+
+
+def small_dense_inv(M):
+    """``jnp.linalg.inv`` where supported; Gauss-Jordan on TPU float64 (see
+    :func:`_gj_inv`)."""
+    if M.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        return _gj_inv(M)
+    return jnp.linalg.inv(M)
+
 # ---------------------------------------------------------------------------
 # Static per-level index plan
 # ---------------------------------------------------------------------------

@@ -76,3 +76,23 @@ def test_cvar_admm_formulation_crosscheck():
                        iters=4000),
     )
     assert np.abs(np.asarray(u_n)[0] - u_o).max() < 0.5
+
+
+def test_gj_inv_matches_numpy():
+    """Gauss-Jordan inverse (f64-on-TPU fallback, tree_qp.small_dense_inv)
+    matches LAPACK on random well- and ill-conditioned small matrices."""
+    import numpy.linalg as npl
+
+    from belief_planning_tpu.solvers.tree_qp import _gj_inv
+
+    rng = np.random.default_rng(3)
+    for k in (2, 12, 36):
+        M = rng.normal(size=(k, k))
+        got = np.asarray(_gj_inv(jnp.asarray(M)))
+        np.testing.assert_allclose(got, npl.inv(M), rtol=1e-9, atol=1e-9)
+    # saddle-structured (zero diagonal block) — exercises pivoting
+    H = np.diag(rng.uniform(1, 10, 6))
+    A = rng.normal(size=(3, 6))
+    K = np.block([[H, A.T], [A, np.zeros((3, 3))]])
+    got = np.asarray(_gj_inv(jnp.asarray(K)))
+    np.testing.assert_allclose(got, npl.inv(K), rtol=1e-8, atol=1e-8)
