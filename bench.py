@@ -26,6 +26,9 @@ solver 5e-5 cold / 1.1e-4 warm vs the 1e-3 gate); "vmap" = per-lane IPM under
 vmap (the previous bench path, 4.6k solves/s); "pl_xla" = the fused iteration
 as plain XLA. Perf history at B=2048: vmap IPM-30 1.6k → IPM-20 2.33k →
 split-row IPM 3.72k → near-feasible-start IPM-12 4.64k → Pallas kernel 21.9k.
+Batch/tile sweep (2026-08-18): B=2048/tile 256 → 27.2k, B=4096/tile 128 →
+32.6k, B=32768/tile 128 → 37-40.6k (the default; run-to-run variance through
+the tunneled chip is ±30%, so expect 24-41k).
 """
 
 import json
@@ -82,11 +85,11 @@ def main():
         # Mehrotra iteration runs in one TPU kernel over batch tiles.
         topo, init_carry, step = make_branch_mpc_batched_step(
             model, params, "prox", ipm=ipm, backend=backend,
-            backend_opts={"tile_b": int(os.environ.get("BENCH_TILE_B", "256"))}
+            backend_opts={"tile_b": int(os.environ.get("BENCH_TILE_B", "128"))}
             if backend == "pl" else None)
         vstep = jax.jit(step)
 
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
     dtype = jnp.float32
     rng = np.random.default_rng(0)
     # physically plausible in-bounds states (ψ within ±0.25, y within the road)
