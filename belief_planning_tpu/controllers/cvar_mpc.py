@@ -89,6 +89,70 @@ def make_cvar_mpc_step(
 
 
 
+def make_cvar_mpc_batched_step(
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    ralpha: float,
+    ipm: CVaRIPMConfig = CVaRIPMConfig(iters=40),
+    replicate_quirks: bool = True,
+    use_pallas: bool = True,
+    tile_b: int = 128,
+):
+    """Batch-last fused-kernel variant of ``make_cvar_mpc_step`` (no S/bx
+    overrides — the merge path stays on the vmapped step). The returned
+    ``step(carrys, xs, zs, xRefs, policy_params)`` takes batch-leading pytrees
+    and runs the IPM iterations through ``solvers/cvar_pl.py`` — one Pallas
+    TPU kernel per Mehrotra iteration, lanes = batch."""
+    from belief_planning_tpu.solvers.cvar_pl import cvar_ipm_solve_pl
+    from belief_planning_tpu.solvers.tree_qp_bl import _from_bl, _to_bl
+
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    cplan = build_cvar_plan(topo, replicate_quirks=replicate_quirks)
+    Nc = params.Fx.shape[0] + 1
+
+    def init_carry(dtype=jnp.float32) -> MPCCarry:
+        return MPCCarry(
+            u_lin=jnp.zeros((topo.totalu, params.d), dtype),
+            p=jnp.zeros((topo.n_branches, topo.m), dtype),
+            old_input=jnp.zeros((params.d,), dtype),
+            initialized=jnp.asarray(False),
+        )
+
+    def prep(carry: MPCCarry, x, z, policy_params):
+        x = jnp.asarray(x)
+        shifted = shift_warm_start(topo, carry.u_lin, carry.p)
+        u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
+        return build_tree(model, topo, x, jnp.asarray(z), u_lin, policy_params)
+
+    def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
+        policy_params = _cast_pytree(policy_params, jnp.asarray(xs).dtype)
+        ts_b = jax.vmap(prep, in_axes=(0, 0, 0, None))(
+            carrys, xs, zs, policy_params)
+        x_bl, u_bl, s_bl, r_bl, aux = cvar_ipm_solve_pl(
+            cplan,
+            _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh), _to_bl(ts_b.h0),
+            _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
+            jnp.moveaxis(ts_b.p, 0, -1),
+            params.Q, params.R, params.Qslack, _to_bl(jnp.asarray(xRefs)),
+            ralpha, params.Fx, params.bx, params.Fu, params.bu,
+            cfg=ipm, use_pallas=use_pallas, tile_b=tile_b,
+        )
+        x_f, u_f, s_f = _from_bl(x_bl), _from_bl(u_bl), _from_bl(s_bl)
+        r_f = jnp.moveaxis(r_bl, -1, 0)
+        B = u_f.shape[0]
+        new_carry = MPCCarry(
+            u_lin=u_f, p=ts_b.p, old_input=u_f[:, 0],
+            initialized=jnp.broadcast_to(jnp.asarray(True), (B,)),
+        )
+        res = CVaRSolveResult(
+            xPred=x_f, uPred=u_f, slack=s_f, risk=r_f, w=ts_b.w, p=ts_b.p,
+            z=ts_b.z, J=aux["J"], gap=aux["gap"],
+        )
+        return new_carry, res
+
+    return topo, cplan, init_carry, step
+
+
 class BranchMPCCVaR:
     """Stateful wrapper mirroring the reference ``BranchMPC_CVaR`` API:
     ``solve(x, z, xRef=None, S=None, Fx=None, bx=None)``."""
