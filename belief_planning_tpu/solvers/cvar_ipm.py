@@ -27,11 +27,25 @@ oracle to ~1e-4. Float32 conditioning is handled by (a) per-cone scaling
 stall/overflow f32 cold starts entirely) and (b) the near-feasible linear-row
 start (``sl_min``). Measured on the full overtake config (B=256 random cold
 starts, 40 iters, real v5e): every lane finite and bounded, gap p50 ~1.0,
-p99 ~5 — no stalled-at-start lanes (was: p50 = p99 = initial gap 10). f32
-gaps remain O(1) rather than parity-grade: Newton directions through the f32
-tree factorization + Woodbury are noisy enough that the step-quality backoff
-keeps steps short; f64 (CPU) convergence is unaffected. Candidate next step:
-one round of iterative refinement per KKT solve.
+p99 ~5 — no stalled-at-start lanes (was: p50 = p99 = initial gap 10).
+
+Convergence anatomy (2026-08-19, scripts/cvar_f32_diag.py +
+scripts/cvar_hard_oracle.py): the "gap stalls O(1)" behavior on adversarial
+cold starts is NOT an f32 precision problem — f64 shows the identical jam on
+the same hard batch. Mechanism: Mehrotra steps let individual complementarity
+products drift ~9 decades off-center, a slack then pins near zero with a live
+residual, and fraction-to-boundary blocks every subsequent step (σ→1,
+α→1e-14). Gondzio centrality correctors (``gondzio=2``) are the effective
+countermeasure: f64 hard-batch final gap p50 1.44→0.345, max 339→2.09; f32
+p50 1.57→1.11. What matters downstream is unaffected sooner: the returned
+best-iterate u0 matches the converged f64 oracle to p50 1e-4 / max 3e-3 on
+the same jammed lanes (the residual gap lives in badly-scaled dual/cone
+coordinates, and the dense reference-grade oracle IPM itself hits max_iter
+on several of them). Tried and rejected: refinement (direction quality is
+not the binding constraint), w_max increases (never binding in f64),
+λ-only or λ+slack barrier restarts (destabilize — see ``recenter``), split
+primal/dual steps (great primal residuals, worse gaps), carried residuals /
+Sterbenz recovery (no measurable win; kept as options).
 """
 
 from __future__ import annotations
@@ -116,6 +130,67 @@ class CVaRIPMConfig:
     # oracle-parity case vs 1.1e-4 at 0.3 and 1.8e-4 at 1.0). 0.3 also cuts
     # the f32 cold-start median gap 6× (10 → 1.6 at 40 iters, overtake batch).
     sl_min: float = 0.3
+    # Primal-residual handling. "recompute" re-forms r = A·x + sl − b (and
+    # rq = q(v) + sq) from the iterate every iteration — textbook, but in f32
+    # the recompute cancels catastrophically on active rows (|A·x − b| ≪
+    # |A·x|), and the O(eps·|A·x|) junk is then amplified by the barrier
+    # weight λ/sl (up to w_max_f32) in the slack elimination ex = (λ·r −
+    # rc)/sl — this, not direction noise, is what poisons the f32 steps.
+    # "carried" threads the residuals through the scan and uses the EXACT
+    # contraction identities instead: linear rows r⁺ = (1−α)·r (dsl is
+    # defined as −r − drow), cones rq⁺ = (1−α)·rq + α²·quad(dv) (q is
+    # quadratic, so the Taylor remainder is exactly the quadratic form of the
+    # step). No cancellation anywhere; drift vs the true residual is O(eps)
+    # per iteration and unamplified.
+    resid: str = "recompute"
+    # Dual/slack recovery algebra. "direct" is dλ = (−rc − λ·dsl)/sl with
+    # rc = sl∘λ + corr. "stable" evaluates the algebraically identical
+    # dλ = −λ·((sl + dsl)/sl) − corr/sl: when fraction-to-boundary is active
+    # (dsl ≈ −sl) the sum sl + dsl is exact in floating point (Sterbenz), so
+    # the recovery adds no rounding beyond dsl's own error, whereas forming
+    # sl·λ and subtracting λ·dsl injects O(eps·λ·sl)/sl = O(eps·λ) junk.
+    recovery: str = "direct"
+    # Gondzio multiple centrality correctors. The measured failure mode of
+    # plain Mehrotra on hard cold starts (scripts/cvar_f32_diag.py, f64 AND
+    # f32): complementarity products drift 7+ orders of magnitude off-center
+    # (min 1e-7·μ, max 80·μ), after which both the affine and the centering
+    # directions are blocked by fraction-to-boundary on the cone slacks
+    # (α→1e-14) and the gap pins at O(1) — an algorithmic jam, not a
+    # precision one. Each corrector round re-uses the factorization: aim at
+    # step ᾱ = min(1, τα+0.3), clip the trial products into
+    # [βmin·σμ, βmax·σμ], and solve a pure complementarity correction for
+    # the outliers; accept if the reachable step grows.
+    gondzio: int = 0
+    gondzio_bmin: float = 0.1
+    gondzio_bmax: float = 10.0
+    # Wide-neighborhood (N∞⁻) step safeguard: take the largest candidate
+    # fraction of the fraction-to-boundary step with
+    # min_i product_i(α) ≥ γ·μ(α) (or no worse than the current min ratio,
+    # so recovery from an already-off-center iterate is not blocked). γ=0
+    # disables. Without this, Mehrotra steps let single products collapse
+    # 9 decades below μ (measured); the associated slack pins at ~1e-13
+    # with a live residual and fraction-to-boundary jams every later step —
+    # the true mechanism of the "gap stalls O(1)" failure, in f64 as well
+    # as f32.
+    neighborhood: float = 0.0
+    # Separate primal/dual step lengths (Mehrotra's standard LP/QP practice):
+    # the slack/iterate step α_P is limited only by the primal families, the
+    # multiplier step α_D only by the dual families. Within one iteration
+    # nothing couples λ to the primal rows (residuals are re-formed next
+    # iteration), so a dual-side block need not kill primal progress and
+    # vice versa.
+    split_step: bool = False
+    # Jam-recovery dual recentering: if the combined step collapses
+    # (α < recenter_tol) for two consecutive iterations, reset every
+    # multiplier to exact centrality at the current μ (λ := μ/sl). This
+    # discards dual progress but keeps the primal iterate; the IPM restarts
+    # from a perfectly centered dual and re-approaches. 0 disables.
+    recenter: int = 0
+    recenter_tol: float = 1e-5
+    # Emit the extended per-iteration diagnostics (per-family step limits,
+    # centrality spread, non-finite bitmasks, factor health). Costs extra
+    # reductions every iteration — leave off outside debugging runs.
+    diag_extra: bool = False
 
 
 @_f32_precision
@@ -255,6 +330,15 @@ def cvar_ipm_solve(
         risk terms, divided by c_k."""
         return stage_mask_j @ _per_stage_cost(x_nodes, u, s) + f_risk_j @ risk
 
+    def cone_quad(dx_nodes, du):
+        """Pure quadratic part of each scaled cone along a step direction:
+        q_k(v + α·dv) = q_k(v) + α·∇q_k·dv + α²·cone_quad(dv)_k exactly
+        (cones are quadratic in (x, u) and linear in (s, risk))."""
+        xc = dx_nodes[cx_nodes]
+        per = (jnp.einsum("bi,ij,bj->b", xc, Qx_cone, xc)
+               + jnp.einsum("bi,ij,bj->b", du, R, du))
+        return stage_mask_j @ per
+
     def cone_grads(x_nodes, u, s):
         """∇q_k pieces: gx (K,totalu,n), gu (K,totalu,d), gs (K,totalu,Nc),
         grisk = f_risk (constant)."""
@@ -289,7 +373,8 @@ def cvar_ipm_solve(
     rows1 = jnp.einsum("brn,bn->br", Fxc, x_i[cx_nodes]) - s_i
     sl1 = jnp.maximum(b1 - rows1, cfg.sl_min)
     lam1 = mu0 / sl1
-    sl2 = jnp.maximum(bu[None] - jnp.einsum("rn,bn->br", Fu, u_i), cfg.sl_min)
+    rows2_0 = jnp.einsum("rn,bn->br", Fu, u_i)
+    sl2 = jnp.maximum(bu[None] - rows2_0, cfg.sl_min)
     lam2 = mu0 / sl2
     sl3 = jnp.maximum(s_i, cfg.sl_min)
     lam3 = mu0 / sl3
@@ -297,7 +382,8 @@ def cvar_ipm_solve(
     # duals moderate while the risk variables move off zero in early iterations
     sl4 = jnp.ones((nsgn,), dtype)
     lam4 = mu0 * jnp.ones((nsgn,), dtype)
-    sq = jnp.maximum(-cone_vals(x_i, u_i, s_i, r_i), 1.0)
+    qv0 = cone_vals(x_i, u_i, s_i, r_i)
+    sq = jnp.maximum(-qv0, 1.0)
     lq = mu0 / sq
 
     mtot = float(sl1.size + sl2.size + sl3.size + nsgn + K)
@@ -472,26 +558,69 @@ def cvar_ipm_solve(
                 dx, du, dsv, dr = dx + ex, du + eu, dsv + es, dr + er
             return dx, du, dsv, dr
 
-        return kkt_solve, gdot, (gx, gu, gs)
+        if cfg.diag_extra:
+            dbg = {
+                "finK": jnp.all(jnp.isfinite(Krk_inv)) * 1.0,
+                "finW": jnp.all(jnp.isfinite(Wm)) * 1.0,
+                "finZ": (jnp.all(jnp.isfinite(Zx)) & jnp.all(jnp.isfinite(Zu))
+                         & jnp.all(jnp.isfinite(Zs))
+                         & jnp.all(jnp.isfinite(Zr))) * 1.0,
+                "finF": sum(jnp.sum(~jnp.isfinite(l_)) for l_ in
+                            jax.tree_util.tree_leaves(fac)) * 1.0,
+                "condW": jnp.max(jnp.abs(Wm)),
+            }
+        else:
+            dbg = {}
+        return kkt_solve, gdot, (gx, gu, gs), dbg
 
     def iteration(carry, it_idx):
         ((x_c, u_c, s_c, r_c, sl1_, lam1_, sl2_, lam2_, sl3_, lam3_,
-          sl4_, lam4_, sq_, lq_), best) = carry
+          sl4_, lam4_, sq_, lq_), res_c, (jam_cnt, rc_used), best) = carry
 
-        rows1 = jnp.einsum("brn,bn->br", Fxc, x_c[cx_nodes]) - s_c
-        rows2 = jnp.einsum("rn,bn->br", Fu, u_c)
-        qv = cone_vals(x_c, u_c, s_c, r_c)
-        r1 = rows1 + sl1_ - b1
-        r2 = rows2 + sl2_ - bu[None]
-        r3 = -s_c + sl3_
-        r4 = -r_c[sgn_idx_j] + sl4_
-        rq = qv + sq_
+        if cfg.resid == "carried":
+            r1, r2, r3, r4, rq = res_c
+        else:
+            rows1 = jnp.einsum("brn,bn->br", Fxc, x_c[cx_nodes]) - s_c
+            rows2 = jnp.einsum("rn,bn->br", Fu, u_c)
+            qv = cone_vals(x_c, u_c, s_c, r_c)
+            if cfg.recenter > 0:
+                # Barrier restart (see CVaRIPMConfig.recenter): after two
+                # jammed iterations, rebuild BOTH slacks and multipliers from
+                # the current primal with the cold-start rule (sl from the
+                # actual row values, λ = μ/sl). Resetting only λ makes it
+                # worse — a crashed slack (1e-14) then gets a 1e13 dual.
+                do_rc = jnp.logical_and(jam_cnt >= 2.0,
+                                        rc_used < cfg.recenter)
+                gap_pre = (
+                    jnp.sum(sl1_ * lam1_) + jnp.sum(sl2_ * lam2_)
+                    + jnp.sum(sl3_ * lam3_) + jnp.sum(sl4_ * lam4_)
+                    + jnp.sum(sq_ * lq_)
+                ) / mtot
+                mu_c = jnp.maximum(gap_pre, 1e-3)
+
+                def rst(sl_old, lam_old, feas, floor):
+                    sl_new = jnp.where(
+                        do_rc, jnp.maximum(feas, floor), sl_old)
+                    return sl_new, jnp.where(do_rc, mu_c / sl_new, lam_old)
+
+                sl1_, lam1_ = rst(sl1_, lam1_, b1 - rows1, cfg.sl_min)
+                sl2_, lam2_ = rst(sl2_, lam2_, bu[None] - rows2, cfg.sl_min)
+                sl3_, lam3_ = rst(sl3_, lam3_, s_c, cfg.sl_min)
+                sl4_, lam4_ = rst(sl4_, lam4_, r_c[sgn_idx_j], cfg.sl_min)
+                sq_, lq_ = rst(sq_, lq_, -qv, 0.3)
+                rc_used = rc_used + jnp.where(do_rc, 1.0, 0.0)
+                jam_cnt = jnp.where(do_rc, 0.0, jam_cnt)
+            r1 = rows1 + sl1_ - b1
+            r2 = rows2 + sl2_ - bu[None]
+            r3 = -s_c + sl3_
+            r4 = -r_c[sgn_idx_j] + sl4_
+            rq = qv + sq_
         gap = (
             jnp.sum(sl1_ * lam1_) + jnp.sum(sl2_ * lam2_) + jnp.sum(sl3_ * lam3_)
             + jnp.sum(sl4_ * lam4_) + jnp.sum(sq_ * lq_)
         ) / mtot
 
-        kkt_solve, gdot, grads = newton_factor(
+        kkt_solve, gdot, grads, nf_dbg = newton_factor(
             x_c, u_c, s_c, lam1_, sl1_, lam2_, sl2_, lam3_, sl3_,
             lam4_, sl4_, lq_, sq_,
         )
@@ -512,14 +641,26 @@ def cvar_ipm_solve(
 
         rd_x, rd_u, rd_s, rd_r = dual_parts(lam1_, lam2_, lam3_, lam4_, lq_)
 
-        def direction(rc1, rc2, rc3, rc4, rcq):
+        def direction(rcs, corrs):
             # eliminate dsl/dλ per linear family and dsq/dλq per cone:
             #   dλ = (−rc − λ·dsl)/sl,  dsl = −r_fam − (row direction)
-            ex1 = (-rc1 + lam1_ * r1) / sl1_
-            ex2 = (-rc2 + lam2_ * r2) / sl2_
-            ex3 = (-rc3 + lam3_ * r3) / sl3_
-            ex4 = (-rc4 + lam4_ * r4) / sl4_
-            exq = (-rcq + lq_ * rq) / sq_
+            # rc = sl∘λ + corr per family; both groupings are passed so each
+            # recovery mode can use its numerically preferred form (see
+            # CVaRIPMConfig.recovery).
+            rc1, rc2, rc3, rc4, rcq = rcs
+            corr1, corr2, corr3, corr4, corrq = corrs
+            if cfg.recovery == "stable":
+                ex1 = lam1_ * ((r1 - sl1_) / sl1_) - corr1 / sl1_
+                ex2 = lam2_ * ((r2 - sl2_) / sl2_) - corr2 / sl2_
+                ex3 = lam3_ * ((r3 - sl3_) / sl3_) - corr3 / sl3_
+                ex4 = lam4_ * ((r4 - sl4_) / sl4_) - corr4 / sl4_
+                exq = lq_ * ((rq - sq_) / sq_) - corrq / sq_
+            else:
+                ex1 = (-rc1 + lam1_ * r1) / sl1_
+                ex2 = (-rc2 + lam2_ * r2) / sl2_
+                ex3 = (-rc3 + lam3_ * r3) / sl3_
+                ex4 = (-rc4 + lam4_ * r4) / sl4_
+                exq = (-rcq + lq_ * rq) / sq_
             qx = -(rd_x + jnp.einsum("brn,br->bn", Fxc, ex1))
             qu = -(rd_u + jnp.einsum("rn,br->bn", Fu, ex2))
             qs = -(rd_s - ex1 - ex3)
@@ -534,16 +675,56 @@ def cvar_ipm_solve(
             dsl4 = -r4 + dr[sgn_idx_j]
             dq = gdot(dx, du, dsv, dr)
             dsq = -rq - dq
+            if cfg.recovery == "stable":
+                dlam1 = -lam1_ * ((sl1_ + dsl1) / sl1_) - corr1 / sl1_
+                dlam2 = -lam2_ * ((sl2_ + dsl2) / sl2_) - corr2 / sl2_
+                dlam3 = -lam3_ * ((sl3_ + dsl3) / sl3_) - corr3 / sl3_
+                dlam4 = -lam4_ * ((sl4_ + dsl4) / sl4_) - corr4 / sl4_
+                dlq = -lq_ * ((sq_ + dsq) / sq_) - corrq / sq_
+            else:
+                dlam1 = (-rc1 - lam1_ * dsl1) / sl1_
+                dlam2 = (-rc2 - lam2_ * dsl2) / sl2_
+                dlam3 = (-rc3 - lam3_ * dsl3) / sl3_
+                dlam4 = (-rc4 - lam4_ * dsl4) / sl4_
+                dlq = (-rcq - lq_ * dsq) / sq_
+            return dx, du, dsv, dr, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3, dsl4, dlam4, dsq, dlq
+
+        def direction_pure(rcs):
+            """Pure complementarity correction: the Newton system with zero
+            primal/dual residuals and complementarity rhs rc per family
+            (sl·dλ + λ·dsl = −rc). Used by the Gondzio corrector rounds —
+            reuses the factorization (one back-solve)."""
+            rc1, rc2, rc3, rc4, rcq = rcs
+            ex1 = -rc1 / sl1_
+            ex2 = -rc2 / sl2_
+            ex3 = -rc3 / sl3_
+            ex4 = -rc4 / sl4_
+            exq = -rcq / sq_
+            qx = -jnp.einsum("brn,br->bn", Fxc, ex1)
+            qu = -jnp.einsum("rn,br->bn", Fu, ex2)
+            qs = ex1 + ex3
+            qr = -(jnp.zeros((nrisk,), dtype).at[sgn_idx_j].add(-ex4))
+            dx, du, dsv, dr = kkt_solve(-qx, -qu, -qs, -qr, exq)
+            drow1 = jnp.einsum("brn,bn->br", Fxc, dx[cx_nodes]) - dsv
+            drow2 = jnp.einsum("rn,bn->br", Fu, du)
+            dsl1 = -drow1
+            dsl2 = -drow2
+            dsl3 = dsv
+            dsl4 = dr[sgn_idx_j]
+            dsq = -gdot(dx, du, dsv, dr)
             dlam1 = (-rc1 - lam1_ * dsl1) / sl1_
             dlam2 = (-rc2 - lam2_ * dsl2) / sl2_
             dlam3 = (-rc3 - lam3_ * dsl3) / sl3_
             dlam4 = (-rc4 - lam4_ * dsl4) / sl4_
             dlq = (-rcq - lq_ * dsq) / sq_
-            return dx, du, dsv, dr, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3, dsl4, dlam4, dsq, dlq
+            return (dx, du, dsv, dr, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3,
+                    dsl4, dlam4, dsq, dlq)
 
-        # predictor
-        da = direction(sl1_ * lam1_, sl2_ * lam2_, sl3_ * lam3_,
-                       sl4_ * lam4_, sq_ * lq_)
+        # predictor (corr = 0: rc is exactly sl∘λ)
+        zero = jnp.asarray(0.0, dtype)
+        da = direction((sl1_ * lam1_, sl2_ * lam2_, sl3_ * lam3_,
+                        sl4_ * lam4_, sq_ * lq_),
+                       (zero, zero, zero, zero, zero))
 
         def max_step(v, dv):
             ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
@@ -559,71 +740,188 @@ def cvar_ipm_solve(
             a = jnp.minimum(a, jnp.minimum(max_step(sq_, dsq), max_step(lq_, dlq)))
             return a
 
-        a_aff = all_step(da)
+        def p_step(dirs):
+            """Primal-side fraction-to-boundary (slacks step with α_P)."""
+            (_, _, _, _, dsl1, _, dsl2, _, dsl3, _, dsl4, _, dsq, _) = dirs
+            a = jnp.minimum(max_step(sl1_, dsl1), max_step(sl2_, dsl2))
+            a = jnp.minimum(a, jnp.minimum(max_step(sl3_, dsl3),
+                                           max_step(sl4_, dsl4)))
+            return jnp.minimum(a, max_step(sq_, dsq))
+
+        def d_step(dirs):
+            (_, _, _, _, _, dlam1, _, dlam2, _, dlam3, _, dlam4, _, dlq) = dirs
+            a = jnp.minimum(max_step(lam1_, dlam1), max_step(lam2_, dlam2))
+            a = jnp.minimum(a, jnp.minimum(max_step(lam3_, dlam3),
+                                           max_step(lam4_, dlam4)))
+            return jnp.minimum(a, max_step(lq_, dlq))
+
+        if cfg.split_step:
+            a_affP, a_affD = p_step(da), d_step(da)
+        else:
+            a_affP = a_affD = all_step(da)
+        a_aff = jnp.minimum(a_affP, a_affD)
         (_, _, _, _, dsl1a, dlam1a, dsl2a, dlam2a, dsl3a, dlam3a,
          dsl4a, dlam4a, dsqa, dlqa) = da
         gap_aff = (
-            jnp.sum((sl1_ + a_aff * dsl1a) * (lam1_ + a_aff * dlam1a))
-            + jnp.sum((sl2_ + a_aff * dsl2a) * (lam2_ + a_aff * dlam2a))
-            + jnp.sum((sl3_ + a_aff * dsl3a) * (lam3_ + a_aff * dlam3a))
-            + jnp.sum((sl4_ + a_aff * dsl4a) * (lam4_ + a_aff * dlam4a))
-            + jnp.sum((sq_ + a_aff * dsqa) * (lq_ + a_aff * dlqa))
+            jnp.sum((sl1_ + a_affP * dsl1a) * (lam1_ + a_affD * dlam1a))
+            + jnp.sum((sl2_ + a_affP * dsl2a) * (lam2_ + a_affD * dlam2a))
+            + jnp.sum((sl3_ + a_affP * dsl3a) * (lam3_ + a_affD * dlam3a))
+            + jnp.sum((sl4_ + a_affP * dsl4a) * (lam4_ + a_affD * dlam4a))
+            + jnp.sum((sq_ + a_affP * dsqa) * (lq_ + a_affD * dlqa))
         ) / mtot
         sigma_c = jnp.clip((gap_aff / (gap + 1e-30)) ** 3, 0.0, 1.0)
 
-        dc = direction(
-            sl1_ * lam1_ + dsl1a * dlam1a - sigma_c * gap,
-            sl2_ * lam2_ + dsl2a * dlam2a - sigma_c * gap,
-            sl3_ * lam3_ + dsl3a * dlam3a - sigma_c * gap,
-            sl4_ * lam4_ + dsl4a * dlam4a - sigma_c * gap,
-            sq_ * lq_ + dsqa * dlqa - sigma_c * gap,
+        corr_c = (
+            dsl1a * dlam1a - sigma_c * gap,
+            dsl2a * dlam2a - sigma_c * gap,
+            dsl3a * dlam3a - sigma_c * gap,
+            dsl4a * dlam4a - sigma_c * gap,
+            dsqa * dlqa - sigma_c * gap,
         )
-        a0 = cfg.tau * all_step(dc)
+        dc = direction(
+            (sl1_ * lam1_ + corr_c[0],
+             sl2_ * lam2_ + corr_c[1],
+             sl3_ * lam3_ + corr_c[2],
+             sl4_ * lam4_ + corr_c[3],
+             sq_ * lq_ + corr_c[4]),
+            corr_c,
+        )
+        # Gondzio multiple centrality correctors (see CVaRIPMConfig.gondzio)
+        for _ in range(cfg.gondzio):
+            mu_t = sigma_c * gap + 1e-30
+            a_cur = all_step(dc)
+            ab = jnp.minimum(1.0, cfg.tau * a_cur + 0.3)
+            (gdx, gdu, gdsv, gdr, gdsl1, gdlam1, gdsl2, gdlam2, gdsl3,
+             gdlam3, gdsl4, gdlam4, gdsq, gdlq) = dc
+
+            cap = 10.0 * cfg.gondzio_bmax * mu_t
+
+            def outlier(v, dv, lam, dlam):
+                p = (v + ab * dv) * (lam + ab * dlam)
+                t = jnp.clip(p, cfg.gondzio_bmin * mu_t, cfg.gondzio_bmax * mu_t)
+                # cap the correction: uncapped p − t on far-off-center rows
+                # overflows through the 1/sl recovery and poisons the lane
+                return jnp.clip(p - t, -cap, cap)
+
+            rcs_g = (outlier(sl1_, gdsl1, lam1_, gdlam1),
+                     outlier(sl2_, gdsl2, lam2_, gdlam2),
+                     outlier(sl3_, gdsl3, lam3_, gdlam3),
+                     outlier(sl4_, gdsl4, lam4_, gdlam4),
+                     outlier(sq_, gdsq, lq_, gdlq))
+            dd = direction_pure(rcs_g)
+            cand = tuple(c + e for c, e in zip(dc, dd))
+            a_new = all_step(cand)
+            # NaN components pass max_step unnoticed (NaN < 0 is False →
+            # ratio ∞) — require explicit finiteness before accepting
+            cand_ok = jnp.asarray(True)
+            for c in cand:
+                cand_ok = jnp.logical_and(cand_ok, jnp.all(jnp.isfinite(c)))
+            accept = jnp.logical_and(a_new > a_cur, cand_ok)
+            dc = tuple(jnp.where(accept, c, o) for c, o in zip(cand, dc))
+
+        if cfg.split_step:
+            a0P, a0D = cfg.tau * p_step(dc), cfg.tau * d_step(dc)
+        else:
+            a0P = a0D = cfg.tau * all_step(dc)
         # freeze once converged (numerical breakdown guard: extreme barrier
         # weights at tiny gaps would otherwise corrupt later Newton systems)
         scale = 1.0 + jnp.abs(obj_val(x_c, u_c, s_c, r_c))
-        a0 = jnp.where(gap < cfg.gap_tol * scale, 0.0, a0)
+        conv = gap < cfg.gap_tol * scale
+        a0P = jnp.where(conv, 0.0, a0P)
+        a0D = jnp.where(conv, 0.0, a0D)
         (dx, du, dsv, dr, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3,
          dsl4, dlam4, dsq, dlq) = dc
 
-        def gap_at(a):
+        def gap_at2(aP_, aD_):
             return (
-                jnp.sum((sl1_ + a * dsl1) * (lam1_ + a * dlam1))
-                + jnp.sum((sl2_ + a * dsl2) * (lam2_ + a * dlam2))
-                + jnp.sum((sl3_ + a * dsl3) * (lam3_ + a * dlam3))
-                + jnp.sum((sl4_ + a * dsl4) * (lam4_ + a * dlam4))
-                + jnp.sum((sq_ + a * dsq) * (lq_ + a * dlq))
+                jnp.sum((sl1_ + aP_ * dsl1) * (lam1_ + aD_ * dlam1))
+                + jnp.sum((sl2_ + aP_ * dsl2) * (lam2_ + aD_ * dlam2))
+                + jnp.sum((sl3_ + aP_ * dsl3) * (lam3_ + aD_ * dlam3))
+                + jnp.sum((sl4_ + aP_ * dsl4) * (lam4_ + aD_ * dlam4))
+                + jnp.sum((sq_ + aP_ * dsq) * (lq_ + aD_ * dlq))
             ) / mtot
+
+        def gap_at(a_):
+            return gap_at2(a_, a_)
 
         # step-quality backoff: damp (but still take) Mehrotra steps that
         # balloon complementarity by ≫ the usual transient factor
         grow = 10.0 * gap + 1e-9
-        a0 = jnp.where(it_idx < cfg.early_iters,
-                       jnp.minimum(a0, cfg.a_cap_early), a0)
-        a1 = jnp.where(gap_at(a0) > grow, 0.3 * a0, a0)
-        a = jnp.where(gap_at(a1) > grow, 0.3 * a1, a1)
+        early = it_idx < cfg.early_iters
+        a0P = jnp.where(early, jnp.minimum(a0P, cfg.a_cap_early), a0P)
+        a0D = jnp.where(early, jnp.minimum(a0D, cfg.a_cap_early), a0D)
+        bk1 = gap_at2(a0P, a0D) > grow
+        a1P = jnp.where(bk1, 0.3 * a0P, a0P)
+        a1D = jnp.where(bk1, 0.3 * a0D, a0D)
+        bk2 = gap_at2(a1P, a1D) > grow
+        aP = jnp.where(bk2, 0.3 * a1P, a1P)
+        aD = jnp.where(bk2, 0.3 * a1D, a1D)
+
+        if cfg.neighborhood > 0:
+            # N∞⁻(γ) wide-neighborhood line search over geometric candidates
+            gam = cfg.neighborhood
+
+            def min_prod(alP, alD):
+                return jnp.minimum(jnp.minimum(
+                    jnp.min((sl1_ + alP * dsl1) * (lam1_ + alD * dlam1)),
+                    jnp.min((sl2_ + alP * dsl2) * (lam2_ + alD * dlam2))),
+                    jnp.minimum(jnp.minimum(
+                        jnp.min((sl3_ + alP * dsl3) * (lam3_ + alD * dlam3)),
+                        jnp.min((sl4_ + alP * dsl4) * (lam4_ + alD * dlam4))),
+                        jnp.min((sq_ + alP * dsq) * (lq_ + alD * dlq))))
+
+            zero_d = jnp.asarray(0.0, dtype)
+            mp0 = min_prod(zero_d, zero_d)
+
+            def nbr_ok(f):
+                mp = min_prod(f * aP, f * aD)
+                # inside the neighborhood, or at least no worse than now
+                # (so an off-center iterate can still take recovery steps)
+                return jnp.logical_or(mp >= gam * gap_at2(f * aP, f * aD),
+                                      mp >= mp0)
+
+            fracs = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.17, 0.12,
+                                 0.08, 0.05, 0.03, 0.02, 0.01], dtype)
+            oks = jax.vmap(nbr_ok)(fracs)
+            fsel = jnp.where(jnp.any(oks), fracs[jnp.argmax(oks)], fracs[-1])
+            aP = fsel * aP
+            aD = fsel * aD
         # f32 safety: a non-finite direction (overflowed barrier products on a
         # cold start) must not poison the iterate — freeze instead. Every
         # component must be checked (a NaN dual direction poisons the slacks
         # even at a=0 since 0·NaN = NaN), and the frozen branch must bypass
         # the arithmetic entirely.
-        finite = jnp.isfinite(a)
+        finite = jnp.logical_and(jnp.isfinite(aP), jnp.isfinite(aD))
         for dd in dc:
             finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(dd)))
-        a = jnp.where(finite, a, 0.0)
+        aP = jnp.where(finite, aP, 0.0)
+        aD = jnp.where(finite, aD, 0.0)
+        a = jnp.minimum(aP, aD)
 
         def stepped(v, dv):
-            return jnp.where(finite, v + a * dv, v)
+            return jnp.where(finite, v + aP * dv, v)
+
+        def stepped_d(v, dv):
+            return jnp.where(finite, v + aD * dv, v)
 
         new = (
             stepped(x_c, dx), stepped(u_c, du), stepped(s_c, dsv),
             stepped(r_c, dr),
-            stepped(sl1_, dsl1), stepped(lam1_, dlam1),
-            stepped(sl2_, dsl2), stepped(lam2_, dlam2),
-            stepped(sl3_, dsl3), stepped(lam3_, dlam3),
-            stepped(sl4_, dsl4), stepped(lam4_, dlam4),
-            stepped(sq_, dsq), stepped(lq_, dlq),
+            stepped(sl1_, dsl1), stepped_d(lam1_, dlam1),
+            stepped(sl2_, dsl2), stepped_d(lam2_, dlam2),
+            stepped(sl3_, dsl3), stepped_d(lam3_, dlam3),
+            stepped(sl4_, dsl4), stepped_d(lam4_, dlam4),
+            stepped(sq_, dsq), stepped_d(lq_, dlq),
         )
+        # jam counter for the barrier-restart logic (the restart itself
+        # happens at the top of the next iteration, where fresh rows/cone
+        # values are available)
+        if cfg.recenter > 0:
+            jam = jnp.logical_and(a < cfg.recenter_tol,
+                                  jnp.logical_not(conv))
+            jam_next = (jnp.where(jam, jam_cnt + 1.0, 0.0), rc_used)
+        else:
+            jam_next = (jam_cnt, rc_used)
         # best-iterate tracking (returned at the end)
         (bx_, bu_, bs_, br_, bgap) = best
         better = gap < bgap
@@ -632,17 +930,72 @@ def cvar_ipm_solve(
             jnp.where(better, s_c, bs_), jnp.where(better, r_c, br_),
             jnp.where(better, gap, bgap),
         )
+        if cfg.resid == "carried":
+            # exact residual contraction (see CVaRIPMConfig.resid): linear
+            # families shrink by (1−α); the cone residual picks up the exact
+            # quadratic Taylor remainder of the step.
+            quad_c = cone_quad(dx, du)
+            # a jammed lane's direction can overflow the quadratic form even
+            # when the step is (near-)zero; 0·inf = NaN would poison the
+            # carried residual permanently
+            quad_c = jnp.where(jnp.isfinite(quad_c), quad_c, 0.0)
+            om = 1.0 - aP
+
+            def res_step(rv, extra=None):
+                val = om * rv if extra is None else om * rv + (aP * aP) * extra
+                return jnp.where(finite, val, rv)
+
+            res_new = (res_step(r1), res_step(r2), res_step(r3),
+                       res_step(r4), res_step(rq, quad_c))
+        else:
+            res_new = res_c
         diag = {
             "gap": gap, "a": a, "a_aff": a_aff, "sigma": sigma_c,
             "wmax": jnp.maximum(jnp.max(lam1_ / sl1_), jnp.max(lq_ / sq_)),
             "prim1": jnp.max(jnp.abs(r1)), "rq": jnp.max(jnp.abs(rq)),
         }
-        return (new, best_new), diag
+        if cfg.diag_extra:
+            comp_all = jnp.concatenate([
+                (sl1_ * lam1_).ravel(), (sl2_ * lam2_).ravel(),
+                (sl3_ * lam3_).ravel(), (sl4_ * lam4_).ravel(),
+                (sq_ * lq_).ravel()])
+            diag.update({
+                # per-family corrector step limits (which family blocks?)
+                "a1s": max_step(sl1_, dsl1), "a1l": max_step(lam1_, dlam1),
+                "a2s": max_step(sl2_, dsl2), "a2l": max_step(lam2_, dlam2),
+                "a3s": max_step(sl3_, dsl3), "a3l": max_step(lam3_, dlam3),
+                "a4s": max_step(sl4_, dsl4), "a4l": max_step(lam4_, dlam4),
+                "aqs": max_step(sq_, dsq), "aql": max_step(lq_, dlq),
+                # centrality spread: min/max product vs the mean
+                "cmin": jnp.min(comp_all) / gap,
+                "cmax": jnp.max(comp_all) / gap,
+                # non-finite-direction bitmask (which of the 14 components
+                # tripped the freeze guard) and extreme slack magnitudes
+                "nfin": sum(jnp.where(jnp.all(jnp.isfinite(dd)), 0.0,
+                                      2.0 ** i_)
+                            for i_, dd in enumerate(dc)),
+                "slmin": jnp.minimum(
+                    jnp.minimum(jnp.min(sl1_), jnp.min(sl2_)),
+                    jnp.minimum(jnp.minimum(jnp.min(sl3_), jnp.min(sl4_)),
+                                jnp.min(sq_))),
+                "lmax": jnp.maximum(
+                    jnp.maximum(jnp.max(lam1_), jnp.max(lam2_)),
+                    jnp.maximum(jnp.maximum(jnp.max(lam3_), jnp.max(lam4_)),
+                                jnp.max(lq_))),
+                **nf_dbg,
+                "nfa": sum(jnp.where(jnp.all(jnp.isfinite(dd)), 0.0,
+                                     2.0 ** i_)
+                           for i_, dd in enumerate(da)),
+            })
+        return (new, res_new, jam_next, best_new), diag
 
     best0 = (x_i, u_i, s_i, r_i, jnp.asarray(np.inf, dtype))
+    res0 = (rows1 + sl1 - b1, rows2_0 + sl2 - bu[None], -s_i + sl3,
+            -r_i[sgn_idx_j] + sl4, qv0 + sq)
+    jam0 = (jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
     carry = ((x_i, u_i, s_i, r_i, sl1, lam1, sl2, lam2, sl3, lam3, sl4, lam4,
-              sq, lq), best0)
-    (state_f, best_f), diag_tr = jax.lax.scan(
+              sq, lq), res0, jam0, best0)
+    (state_f, _res_f, _jam_f, best_f), diag_tr = jax.lax.scan(
         iteration, carry, jnp.arange(cfg.iters)
     )
     gaps = diag_tr["gap"]

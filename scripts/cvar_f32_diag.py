@@ -52,7 +52,8 @@ def main():
     model = highway_model(cons, pset, N=N, dt=0.1)
     params = init_branch_mpc(4, 2, N, NB, xt, am=6.0, rm=0.3, N_lane=4, W=cons.W)
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
-    cplan = build_cvar_plan(topo, replicate_quirks=True)
+    cplan = build_cvar_plan(
+        topo, replicate_quirks=os.environ.get("CVAR_QUIRKS", "1") == "1")
 
     rng = np.random.default_rng(0)
     xs = np.array([0.0, 1.8, 20.0, 0.0]) + rng.normal(0, 0.2, (B, 4))
@@ -74,7 +75,17 @@ def main():
         cfg = CVaRIPMConfig(iters=iters, refine=refine,
                             refine_dtype=os.environ.get("CVAR_REFINE_DTYPE", "same"),
                             outer_dtype=os.environ.get("CVAR_OUTER_DTYPE", "same"),
-                            w_max_f32=float(os.environ.get("CVAR_WMAX32", "1e6")))
+                            w_max=float(os.environ.get("CVAR_WMAX", "1e12")),
+                            w_max_f32=float(os.environ.get("CVAR_WMAX32", "1e6")),
+                            resid=os.environ.get("CVAR_RESID", "recompute"),
+                            recovery=os.environ.get("CVAR_RECOVERY", "direct"),
+                            gondzio=int(os.environ.get("CVAR_GONDZIO", "0")),
+                            split_step=os.environ.get("CVAR_SPLIT", "0") == "1",
+                            recenter=int(os.environ.get("CVAR_RECENTER", "0")),
+                            neighborhood=float(
+                                os.environ.get("CVAR_NBR", "0")),
+                            diag_extra=os.environ.get(
+                                "CVAR_FAMDIAG", "0") == "1")
         x_f, u_f, s_f, r_f, aux = cvar_ipm_solve(
             cplan, ts, params.Q, params.R, params.Qslack, xRef, 0.9,
             params.Fx, params.bx, params.Fu, params.bu, x, cfg=cfg)
@@ -89,11 +100,33 @@ def main():
         u = np.asarray(u)
         print(f"refine={refine}  final gap p50 {np.percentile(gaps[:, -1], 50):.3g} "
               f"max {gaps[:, -1].max():.3g}  u finite {np.isfinite(u).all()}")
+        keys = ["gap", "a", "a_aff", "sigma", "wmax", "prim1", "rq"]
+        extra = [k for k in ("a1s", "a1l", "a2s", "a2l", "a3s", "a3l",
+                             "a4s", "a4l", "aqs", "aql", "cmin", "cmax")
+                 if k in diag]
         for i in range(0, iters, 2):
             row = "  ".join(f"{k} {np.percentile(diag[k][:, i], 50):9.3g}"
-                            for k in ["gap", "a", "a_aff", "sigma", "wmax",
-                                      "prim1", "rq"])
+                            for k in keys)
             print(f"  it{i:3d}  {row}")
+            if extra and os.environ.get("CVAR_FAMDIAG", "0") == "1":
+                row2 = "  ".join(f"{k} {np.percentile(diag[k][:, i], 50):8.2g}"
+                                 for k in extra)
+                print(f"         {row2}")
+                if "nfin" in diag:
+                    nf = diag["nfin"][:, i]
+                    more = "  ".join(
+                        f"{k} {np.min(diag[k][:, i]):.2g}"
+                        for k in ("finK", "finW", "finZ") if k in diag)
+                    more2 = "  ".join(
+                        f"{k} {np.max(diag[k][:, i]):.2g}"
+                        for k in ("finF", "condW") if k in diag)
+                    nfa_s = (f"nfa_frac {np.mean(diag['nfa'][:, i] > 0):.2f}  "
+                             if "nfa" in diag else "")
+                    print(f"         nfin p50 {np.percentile(nf, 50):.0f} "
+                          f"max {nf.max():.0f} frac {np.mean(nf > 0):.2f}  "
+                          f"slmin {np.percentile(diag['slmin'][:, i], 0):.2g}  "
+                          f"lmax {np.percentile(diag['lmax'][:, i], 100):.2g}  "
+                          + nfa_s + f"{more}  {more2}")
         sys.stdout.flush()
 
 
