@@ -97,12 +97,15 @@ def make_cvar_mpc_batched_step(
     replicate_quirks: bool = True,
     use_pallas: bool = True,
     tile_b: int = 128,
+    use_S: bool = False,
 ):
-    """Batch-last fused-kernel variant of ``make_cvar_mpc_step`` (no S/bx
-    overrides — the merge path stays on the vmapped step). The returned
-    ``step(carrys, xs, zs, xRefs, policy_params)`` takes batch-leading pytrees
-    and runs the IPM iterations through ``solvers/cvar_pl.py`` — one Pallas
-    TPU kernel per Mehrotra iteration, lanes = batch."""
+    """Batch-last fused-kernel variant of ``make_cvar_mpc_step``. The returned
+    ``step(carrys, xs, zs, xRefs, policy_params[, S, bx])`` takes
+    batch-leading pytrees and runs the IPM iterations through
+    ``solvers/cvar_pl.py`` — one Pallas TPU kernel per Mehrotra iteration,
+    lanes = batch. With ``use_S`` the merge shear transform ``S`` (B, n, n)
+    and runtime ``bx`` (B, nFx) ride the same kernel as per-lane constants
+    (reference merge path, ``MPC_branch.py:2043-2059``)."""
     from belief_planning_tpu.solvers.cvar_pl import cvar_ipm_solve_pl
     from belief_planning_tpu.solvers.tree_qp_bl import _from_bl, _to_bl
 
@@ -124,18 +127,23 @@ def make_cvar_mpc_batched_step(
         u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
         return build_tree(model, topo, x, jnp.asarray(z), u_lin, policy_params)
 
-    def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
-        policy_params = _cast_pytree(policy_params, jnp.asarray(xs).dtype)
+    def step(carrys: MPCCarry, xs, zs, xRefs, policy_params, S=None, bx=None):
+        dt_ = jnp.asarray(xs).dtype
+        policy_params = _cast_pytree(policy_params, dt_)
         ts_b = jax.vmap(prep, in_axes=(0, 0, 0, None))(
             carrys, xs, zs, policy_params)
+        S_bl = (jnp.moveaxis(jnp.asarray(S, dt_), 0, -1)
+                if (use_S and S is not None) else None)
+        bx_used = (params.bx if bx is None
+                   else jnp.moveaxis(jnp.asarray(bx, dt_), 0, -1))
         x_bl, u_bl, s_bl, r_bl, aux = cvar_ipm_solve_pl(
             cplan,
             _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh), _to_bl(ts_b.h0),
             _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
             jnp.moveaxis(ts_b.p, 0, -1),
             params.Q, params.R, params.Qslack, _to_bl(jnp.asarray(xRefs)),
-            ralpha, params.Fx, params.bx, params.Fu, params.bu,
-            cfg=ipm, use_pallas=use_pallas, tile_b=tile_b,
+            ralpha, params.Fx, bx_used, params.Fu, params.bu,
+            cfg=ipm, use_pallas=use_pallas, tile_b=tile_b, S_bl=S_bl,
         )
         x_f, u_f, s_f = _from_bl(x_bl), _from_bl(u_bl), _from_bl(s_bl)
         r_f = jnp.moveaxis(r_bl, -1, 0)

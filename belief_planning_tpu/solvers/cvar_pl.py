@@ -35,7 +35,10 @@ comparisons between layouts scatter on hard lanes (u0 diff p50 0.05, p90
 0.65 measured at B=256) — use f64 (CPU) where parity-grade CVaR solutions
 are required. Differences from the vmapped path (beyond layout): Gauss-
 Jordan in place of ``linalg.inv``/LU, and no ``refine``/``outer_dtype``
-options. No state transform S (the merge path stays on the vmapped solver).
+options. The merge state transform S is supported per lane: the cone
+quadratic SᵀQS, transformed rows Fx·S, and their outer products enter as
+per-lane tiled constants (``QxC``/``Fxl``/``FxFx``), so the kernel body is
+identical with and without S.
 
 Mosaic notes beyond ``tree_qp_pl``'s: 2-D shared constants cannot be
 broadcast into rank-5 positions (lane-1 vector materialization) — tile them
@@ -215,7 +218,8 @@ def _forward_blocks_mr(levels, K_l, Acl_l, B_st, kff_l, n, d, m, dtype, R, T):
 
 CV_CARRY_FIELDS = 14  # x, u, s, r, sl1, lam1, sl2, lam2, sl3, lam3, sl4, lam4, sq, lq
 
-CV_CONST_ORDER = ["A_st", "B_st", "dh", "b1", "pa", "csc", "cx", "cc"]
+CV_CONST_ORDER = ["A_st", "B_st", "dh", "b1", "pa", "csc", "cx", "cc",
+                  "QxC", "Fxl", "FxFx"]
 CV_SHARED_ORDER = ["Fx", "Fu", "bu", "QxC", "Rm", "mask", "maskT",
                    "frisk", "friskT", "Ssgn", "SsgnT", "itv"]
 
@@ -245,10 +249,13 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         return jnp.concatenate(parts, axis=0)
 
     def iterate(
-        # per-problem consts (tiled); pa = p_nonleaf/ralpha (bdim, m, T)
-        A_st, B_st, dh, b1, pa, csc, cxl, cc,
+        # per-problem consts (tiled); pa = p_nonleaf/ralpha (bdim, m, T);
+        # QxC (n,n,T) / Fxl (nFx,n,T) / FxFx (nFx,n,n,T) are per-lane so the
+        # merge state transform S (Qx_cone = SᵀQS, rows Fx·S) rides the same
+        # kernel — without S they are broadcasts of Q / Fx
+        A_st, B_st, dh, b1, pa, csc, cxl, cc, QxC, Fxl, FxFx,
         # shared consts
-        Fx, Fu, bu, QxC, Rm, mask, maskT, frisk, friskT, Ssgn, SsgnT, itv,
+        Fu, bu, Rm, mask, maskT, frisk, friskT, Ssgn, SsgnT, itv,
         # carry
         x_c, u_c, s_c, r_c, sl1, lam1, sl2, lam2, sl3, lam3, sl4, lam4, sq, lq,
     ):
@@ -272,7 +279,6 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             """2D shared const -> (.., T)-tiled copy (in-VMEM broadcast)."""
             return jnp.broadcast_to(C[:, :, None], C.shape + (T,))
 
-        Fx_t = t3(Fx)
         mask_t, maskT_t = t3(mask), t3(maskT)
         frisk_t, friskT_t = t3(frisk), t3(friskT)
         Ssgn_t, SsgnT_t = t3(Ssgn), t3(SsgnT)
@@ -282,10 +288,10 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             """x rows (totalu, n, [R,] T) → [−dh·x; Fx x] (totalu, Nc, [R,] T)."""
             if xv.ndim == 3:
                 r0 = -jnp.sum(dh * xv, axis=1, keepdims=True)
-                rr = jnp.sum(Fx[None, :, :, None] * xv[:, None, :, :], axis=2)
+                rr = jnp.sum(Fxl[None, :, :, :] * xv[:, None, :, :], axis=2)
             else:
                 r0 = -jnp.sum(dh[:, :, None, :] * xv, axis=1, keepdims=True)
-                rr = jnp.sum(Fx_t[None, :, :, None, :]
+                rr = jnp.sum(Fxl[None, :, :, None, :]
                              * xv[:, None, :, :, :], axis=2)
             return jnp.concatenate([r0, rr], axis=1)
 
@@ -294,10 +300,10 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             if v.ndim == 3:
                 out = -dh * v[:, 0:1, :]
                 return out + jnp.sum(
-                    Fx[None, :, :, None] * v[:, 1:][:, :, None, :], axis=1)
+                    Fxl[None, :, :, :] * v[:, 1:][:, :, None, :], axis=1)
             out = -dh[:, :, None, :] * v[:, 0:1]
             return out + jnp.sum(
-                Fx_t[None, :, :, None, :] * (v[:, 1:])[:, :, None, :, :],
+                Fxl[None, :, :, None, :] * (v[:, 1:])[:, :, None, :, :],
                 axis=1)
 
         def fu_mul(uv):
@@ -330,7 +336,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         # ---- per-stage cone pieces ----------------------------------------
         xc = cx_gather(x_c)                                    # (totalu, n, T)
         gx_stage = 2.0 * jnp.sum(
-            xc[:, :, None, :] * QxC[None, :, :, None], axis=1) \
+            xc[:, :, None, :] * QxC[None, :, :, :], axis=1) \
             + cxl[None, :, :]                                  # (totalu, n, T)
         gu_stage = 2.0 * jnp.sum(
             u_c[:, :, None, :] * Rm[None, :, :, None], axis=1)
@@ -398,13 +404,12 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         kap = w1 + w3 + cfg.reg
         coefs = w1 - w1 * w1 / kap
         eye_n = jnp.eye(n, dtype=dtype)[None, :, :, None]
-        Qx2 = 2.0 * lqs[:, None, None, :] * QxC[None, :, :, None]
+        Qx2 = 2.0 * lqs[:, None, None, :] * QxC[None, :, :, :]
         Qx2 = Qx2 + cfg.reg * eye_n
         Qx2 = Qx2 + (coefs[:, 0:1][:, :, None, :]
                      * dh[:, :, None, :] * dh[:, None, :, :])
-        FxFx = Fx[:, :, None] * Fx[:, None, :]
         Qx2 = Qx2 + jnp.sum(
-            coefs[:, 1:][:, :, None, None, :] * FxFx[None, :, :, :, None],
+            coefs[:, 1:][:, :, None, None, :] * FxFx[None, :, :, :, :],
             axis=1)
         FuFu = Fu[:, :, None] * Fu[:, None, :]
         Ru2 = 2.0 * lam_stage[:, None, None, :] * Rm[None, :, :, None]
@@ -746,11 +751,16 @@ def cvar_ipm_solve_pl(
     cfg: CVaRIPMConfig = CVaRIPMConfig(),
     use_pallas: bool = True,
     tile_b: int = 128,
+    S_bl=None,
 ):
     """Batch-last fused-iteration CVaR IPM. Inputs are ``_to_bl``-transposed
     tree arrays; ``xRef_bl`` is (n, Z); ``p_bl`` is (n_branches, m, Z).
-    Semantics = ``cvar_ipm_solve`` with default precision options (no S,
-    refine=0, outer_dtype=same). Returns (x, u, s, r, aux) batch-last."""
+    Semantics = ``cvar_ipm_solve`` with default precision options (refine=0,
+    outer_dtype=same). ``S_bl`` (n, n, Z) applies the merge state transform
+    per lane (cone quadratic SᵀQS, rows Fx·S, dh[0] floor quirk — the linear
+    cone term stays untransformed, as in ``cvar_ipm_solve``); ``bx`` may be
+    (nFx,) shared or (nFx, Z) per-lane (runtime ramp bounds). Returns
+    (x, u, s, r, aux) batch-last."""
     plan = cplan.plan
     topo = plan.topo
     n, d, m = topo.n, topo.d, topo.m
@@ -768,21 +778,38 @@ def cvar_ipm_solve_pl(
     mtot = float(totalu * Nc + totalu * nFu + totalu * Nc + nsgn + K)
 
     A_st, B_st = _succ_transitions(plan, A_bl, B_bl)
-    b1 = jnp.concatenate(
-        [h0_bl[:, None, :],
-         jnp.broadcast_to(jnp.asarray(bx, dtype)[None, :, None],
-                          (totalu, nFx, Z))], axis=1)
+    bx_j = jnp.asarray(bx, dtype)
+    bx_row = (bx_j[None, :, None] if bx_j.ndim == 1
+              else bx_j[None, :, :])                            # (1, nFx, Z?)
     pa = jnp.asarray(p_bl[:bdim], dtype) / ralpha               # (bdim, m, Z)
     Qm = jnp.asarray(Q, dtype)
+    Fx_j = jnp.asarray(Fx, dtype)
+    if S_bl is not None:
+        S_bl = jnp.asarray(S_bl, dtype)                        # (n, n, Z)
+        # quirk parity with cvar_ipm_solve: quadratic through S, linear not;
+        # collision-row x-component floored away from zero
+        QxC_c = jnp.einsum("jit,jk,klt->ilt", S_bl, Qm, S_bl)
+        Fxl_c = jnp.einsum("rj,jnt->rnt", Fx_j, S_bl)
+        d0 = dh_bl[:, 0, :]
+        dh_bl = dh_bl.at[:, 0, :].set(
+            jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0)))
+    else:
+        QxC_c = jnp.broadcast_to(Qm[:, :, None], (n, n, Z))
+        Fxl_c = jnp.broadcast_to(Fx_j[:, :, None], (nFx, n, Z))
+    FxFx_c = Fxl_c[:, :, None, :] * Fxl_c[:, None, :, :]
+    b1 = jnp.concatenate(
+        [h0_bl[:, None, :],
+         jnp.broadcast_to(bx_row, (totalu, nFx, Z))], axis=1)
     cx = -2.0 * jnp.einsum("ij,jt->it", Qm, xRef_bl)            # (n, Z)
     cc = jnp.sum(xRef_bl * jnp.einsum("ij,jt->it", Qm, xRef_bl),
                  axis=0, keepdims=True)                         # (1, Z)
 
-    consts = dict(A_st=A_st, B_st=B_st, dh=dh_bl, b1=b1, pa=pa, cx=cx, cc=cc)
+    consts = dict(A_st=A_st, B_st=B_st, dh=dh_bl, b1=b1, pa=pa, cx=cx, cc=cc,
+                  QxC=QxC_c, Fxl=Fxl_c, FxFx=FxFx_c)
     shared = dict(
-        Fx=jnp.asarray(Fx, dtype), Fu=jnp.asarray(Fu, dtype),
+        Fu=jnp.asarray(Fu, dtype),
         bu=jnp.asarray(bu, dtype).reshape(1, -1),
-        QxC=Qm, Rm=jnp.asarray(R, dtype),
+        Rm=jnp.asarray(R, dtype),
         mask=jnp.asarray(mask_np, dtype), maskT=jnp.asarray(mask_np.T, dtype),
         frisk=jnp.asarray(frisk_np, dtype),
         friskT=jnp.asarray(frisk_np.T, dtype),
@@ -805,7 +832,7 @@ def cvar_ipm_solve_pl(
     xc0 = cx_gather(x_i)
     rows1 = jnp.concatenate(
         [-jnp.sum(dh_bl * xc0, axis=1, keepdims=True),
-         jnp.einsum("rn,jnt->jrt", shared["Fx"], xc0)], axis=1) - s_i
+         jnp.einsum("rnt,jnt->jrt", Fxl_c, xc0)], axis=1) - s_i
     mu0 = 10.0
     sl1 = jnp.maximum(b1 - rows1, cfg.sl_min)
     lam1 = mu0 / sl1
@@ -817,7 +844,7 @@ def cvar_ipm_solve_pl(
     sl4 = jnp.ones((nsgn, Z), dtype)
     lam4 = mu0 * jnp.ones((nsgn, Z), dtype)
     # raw cone values at the start → per-cone scales
-    sc0 = (jnp.einsum("jnt,nm,jmt->jt", xc0, Qm, xc0)
+    sc0 = (jnp.einsum("jnt,nmt,jmt->jt", xc0, QxC_c, xc0)
            + jnp.sum(xc0 * cx[None, :, :], axis=1) + cc
            + jnp.einsum("jnt,nm,jmt->jt", u_i, shared["Rm"], u_i))
     q_raw0 = jnp.einsum("kj,jt->kt", shared["mask"], sc0)       # (K, Z)
@@ -828,7 +855,7 @@ def cvar_ipm_solve_pl(
 
     const_args = [consts[k] for k in CV_CONST_ORDER]
     shared_args = [shared[k] for k in
-                   ["Fx", "Fu", "bu", "QxC", "Rm", "mask", "maskT",
+                   ["Fu", "bu", "Rm", "mask", "maskT",
                     "frisk", "friskT", "Ssgn", "SsgnT"]]
     dims = dict(n=n, d=d, m=m, Nc=Nc, nFx=nFx, nFu=nFu, K=K, bdim=bdim,
                 nrisk=nrisk, nsgn=nsgn, Qslack1=Qslack1, mtot=mtot)
@@ -893,11 +920,11 @@ def _make_pallas_cvar_iteration(cplan, cfg, dims, totalx, totalu, dtype,
     tiled_const = {
         "A_st": (totalu, n, n), "B_st": (totalu, n, d), "dh": (totalu, n),
         "b1": (totalu, Nc), "pa": (bdim, dims["m"]), "csc": (K,), "cx": (n,),
-        "cc": (1,),
+        "cc": (1,), "QxC": (n, n), "Fxl": (nFx, n), "FxFx": (nFx, n, n),
     }
     shared_shapes = [
-        ("Fx", (nFx, n)), ("Fu", (nFu, d)), ("bu", (1, nFu)),
-        ("QxC", (n, n)), ("Rm", (d, d)), ("mask", (K, totalu)),
+        ("Fu", (nFu, d)), ("bu", (1, nFu)),
+        ("Rm", (d, d)), ("mask", (K, totalu)),
         ("maskT", (totalu, K)), ("frisk", (K, nrisk)),
         ("friskT", (nrisk, K)), ("Ssgn", (nsgn, nrisk)),
         ("SsgnT", (nrisk, nsgn)), ("itv", (1, 1)),

@@ -134,3 +134,66 @@ def test_cvar_pl_batched_controller_step():
         assert np.abs(np.asarray(res_v.uPred[:, 0])
                       - np.asarray(res_b.uPred[:, 0])).max() < 2e-2
         assert np.asarray(res_b.gap).max() < 1.0
+
+
+def test_cvar_pl_merge_S_matches_vmapped():
+    """The merge shear transform S and per-lane runtime bx ride the fused
+    batch-last path as per-lane constants: gap trajectories must match the
+    vmapped solver with S= / bx= exactly (early iterations), and the applied
+    input must agree after convergence."""
+    from belief_planning_tpu.models.policies import merge_policy_set
+    from belief_planning_tpu.models.predictive import merge_model
+    from belief_planning_tpu.presets import init_branch_mpc
+    from belief_planning_tpu.utils.config import BranchConstants
+
+    N, NB = 3, 1
+    cons = BranchConstants(am=7.0)
+    pset = merge_policy_set(cons, 20.0, None)
+    model = merge_model(cons, pset, N=N, dt=0.1)
+    params = init_branch_mpc(4, 2, N, NB, np.array([0.5, 1.8, 15.0, 0.0]),
+                             am=7.0, rm=0.3, N_lane=2, W=cons.W)
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    cplan = build_cvar_plan(topo, replicate_quirks=True)
+
+    B = 3
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(np.array([0.0, 1.0, 15.0, 0.08])
+                     + rng.normal(0, 0.1, (B, 4)))
+    zs = jnp.asarray(np.array([8.0, 1.8, 14.0, 0.0])
+                     + rng.normal(0, 0.2, (B, 4)))
+    psi0 = 0.08 + 0.02 * rng.normal(size=B)
+    Ss = np.tile(np.eye(4), (B, 1, 1))
+    Ss[:, 1, 0] = -np.tan(psi0)
+    Ss = jnp.asarray(Ss)
+    bxs = np.tile(np.asarray(params.bx, np.float64)[None], (B, 1))
+    bxs[:, 0] += rng.normal(0, 0.05, B)
+    bxs = jnp.asarray(bxs)
+    xRef = jnp.asarray(params.xRef, xs.dtype)
+    u0 = jnp.zeros((topo.totalu, params.d), xs.dtype)
+    ts_b = jax.vmap(
+        lambda x, z: build_tree(model, topo, x, z, u0, pset.params))(xs, zs)
+
+    cfg = CVaRIPMConfig(iters=40)
+
+    def solve_v(ts, S, bx):
+        out = cvar_ipm_solve(
+            cplan, ts, params.Q, params.R, params.Qslack, xRef, 0.1,
+            params.Fx, bx, params.Fu, params.bu, ts.x_lin[0], S=S, cfg=cfg)
+        return out[1], out[4]["gaps"]
+
+    uv, gaps_v = jax.jit(jax.vmap(solve_v))(ts_b, Ss, bxs)
+
+    x_bl, u_bl, s_bl, r_bl, aux = cvar_ipm_solve_pl(
+        cplan, _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh),
+        _to_bl(ts_b.h0), _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
+        jnp.moveaxis(ts_b.p, 0, -1),
+        params.Q, params.R, params.Qslack,
+        _to_bl(jnp.broadcast_to(xRef, (B, 4))), 0.1,
+        params.Fx, jnp.moveaxis(bxs, 0, -1), params.Fu, params.bu,
+        cfg=cfg, use_pallas=False, S_bl=jnp.moveaxis(Ss, 0, -1))
+
+    gaps_p = np.asarray(aux["gaps"]).T
+    gv = np.asarray(gaps_v)
+    assert np.allclose(gv[:, :10], gaps_p[:, :10], rtol=1e-8, atol=1e-10)
+    up = np.asarray(jnp.moveaxis(u_bl, -1, 0))
+    assert np.abs(np.asarray(uv)[:, 0] - up[:, 0]).max() < 2e-2

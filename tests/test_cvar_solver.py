@@ -96,3 +96,47 @@ def test_gj_inv_matches_numpy():
     K = np.block([[H, A.T], [A, np.zeros((3, 3))]])
     got = np.asarray(_gj_inv(jnp.asarray(K)))
     np.testing.assert_allclose(got, npl.inv(K), rtol=1e-8, atol=1e-8)
+
+
+def test_cvar_ipm_gondzio_oracle_and_hard_batch():
+    """The Gondzio-corrector option must (a) keep the oracle gate and (b)
+    improve the hard-cold-start final gap vs plain Mehrotra (the centrality
+    jam — see cvar_ipm.py docstring)."""
+    import jax
+
+    oracle, u_o, params, model, cplan, ts, x = setup_case(True)
+    cfg_g = CVaRIPMConfig(iters=40, gondzio=2)
+    x_f, u_f, s_f, r_f, aux = cvar_ipm_solve(
+        cplan, ts, params.Q, params.R, params.Qslack, params.xRef, 0.9,
+        params.Fx, params.bx, params.Fu, params.bu, x, S=None, cfg=cfg_g)
+    assert np.abs(np.asarray(u_f)[0] - u_o).max() < 5e-4
+
+    # hard cold-start batch (same recipe as scripts/cvar_f32_diag.py)
+    cons, pset, model, params = overtake_setup(N=8, NB=2)
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    cplan = build_cvar_plan(topo, replicate_quirks=True)
+    rng = np.random.default_rng(0)
+    B = 6
+    xs = np.array([0.0, 1.8, 20.0, 0.0]) + rng.normal(0, 0.2, (B, 4))
+    xs[:, 1] = np.clip(xs[:, 1], 1.3, 13.1)
+    zs = np.array([12.0, 1.8, 17.0, 0.0]) + rng.normal(0, 0.5, (B, 4))
+    zs[:, 1] = np.clip(zs[:, 1], 1.3, 13.1)
+    u0 = np.zeros((topo.totalu, params.d))
+
+    def final_gap(gondzio):
+        cfg = CVaRIPMConfig(iters=30, gondzio=gondzio)
+
+        def one(x_, z_):
+            ts = build_tree(model, topo, x_, z_, u0, pset.params)
+            out = cvar_ipm_solve(
+                cplan, ts, params.Q, params.R, params.Qslack,
+                np.array([0., 1.8, 18., 0.]), 0.9,
+                params.Fx, params.bx, params.Fu, params.bu, x_, cfg=cfg)
+            return out[4]["gap"]
+
+        return np.asarray(jax.jit(jax.vmap(one))(xs, zs))
+
+    g0 = final_gap(0)
+    g2 = final_gap(2)
+    assert np.isfinite(g2).all()
+    assert np.median(g2) < 0.8 * np.median(g0), (np.median(g0), np.median(g2))
