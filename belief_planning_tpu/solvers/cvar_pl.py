@@ -648,6 +648,92 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         dc_core = wb_correct(acx, acu, acs, acr, phi0_c)
         dc = dual_steps(*rhs_corr, finish_direction(*dc_core))
 
+        # Gondzio multiple centrality correctors (same scheme and measured
+        # motivation as cvar_ipm — see CVaRIPMConfig.gondzio): each round is
+        # one more factorization-reusing solve on a pure complementarity rhs
+        # that pushes outlier trial products back into [βmin·σμ, βmax·σμ].
+        def direction_pure(rc1, rc2, rc3, rc4, rcq):
+            ex1 = -rc1 / sl1
+            ex2 = -rc2 / sl2
+            ex3 = -rc3 / sl3
+            ex4 = -rc4 / sl4
+            exq = -rcq / sq
+            qx = row_mulT(ex1)
+            qu = fu_mulT(ex2)
+            qs = -ex1 - ex3
+            qr = -sgn_scatter(ex4)
+            eg = jnp.sum(maskT_t * (exq * csc_inv)[None, :, :], axis=1)
+            qx = qx + eg[:, None, :] * gx_stage
+            qu = qu + eg[:, None, :] * gu_stage
+            qs = qs + Qslack1 * eg[:, None, :]
+            qr = qr + jnp.sum(
+                friskT_t * (exq * csc_inv)[None, :, :], axis=1)
+            px, pu, ps, pr = h0_apply(
+                qx[:, :, None, :], qu[:, :, None, :],
+                qs[:, :, None, :], qr[:, None, :])
+            px, pu = px[:, :, 0, :], pu[:, :, 0, :]
+            ps, pr = ps[:, :, 0, :], pr[:, 0, :]
+            phi0 = gdot(cx_gather(px), pu, ps, pr)
+            px, pu, ps, pr = wb_correct(px, pu, ps, pr, phi0)
+            drow1 = row_mul(cx_gather(px)) - ps
+            drow2 = fu_mul(pu)
+            pdsl1 = -drow1
+            pdsl2 = -drow2
+            pdsl3 = ps
+            pdsl4 = sgn_sel(pr)
+            pdsq = -gdot(cx_gather(px), pu, ps, pr)
+            pdlam1 = (-rc1 - lam1 * pdsl1) / sl1
+            pdlam2 = (-rc2 - lam2 * pdsl2) / sl2
+            pdlam3 = (-rc3 - lam3 * pdsl3) / sl3
+            pdlam4 = (-rc4 - lam4 * pdsl4) / sl4
+            pdlq = (-rcq - lq * pdsq) / sq
+            return (px, pu, ps, pr, pdsl1, pdsl2, pdsl3, pdsl4, pdsq,
+                    pdlam1, pdlam2, pdlam3, pdlam4, pdlq)
+
+        for _ in range(cfg.gondzio):
+            mu_t = sigma_c * gap + 1e-30                       # (1, T)
+            a_cur = all_step(dc)
+            ab = jnp.minimum(1.0, cfg.tau * a_cur + 0.3)       # (1, T)
+            lo_t = cfg.gondzio_bmin * mu_t
+            hi_t = cfg.gondzio_bmax * mu_t
+            cap_t = 10.0 * hi_t
+            (gdx, gdu, gdsv, gdr, gdsl1, gdsl2, gdsl3, gdsl4, gdsq,
+             gdlam1, gdlam2, gdlam3, gdlam4, gdlq) = dc
+
+            def outlier(v, dv, lam_, dlam_):
+                if v.ndim == 3:
+                    abv = ab[None, :, :].reshape(1, 1, T)
+                    lo_, hi_, cap_ = (w[None, :, :].reshape(1, 1, T)
+                                      for w in (lo_t, hi_t, cap_t))
+                else:
+                    abv, lo_, hi_, cap_ = ab, lo_t, hi_t, cap_t
+                p = (v + abv * dv) * (lam_ + abv * dlam_)
+                t = jnp.clip(p, lo_, hi_)
+                return jnp.clip(p - t, -cap_, cap_)
+
+            dd = direction_pure(
+                outlier(sl1, gdsl1, lam1, gdlam1),
+                outlier(sl2, gdsl2, lam2, gdlam2),
+                outlier(sl3, gdsl3, lam3, gdlam3),
+                outlier(sl4, gdsl4, lam4, gdlam4),
+                outlier(sq, gdsq, lq, gdlq))
+            cand = tuple(c + e for c, e in zip(dc, dd))
+            a_new = all_step(cand)
+            cand_ok = jnp.ones((1, T), dtype) > 0.5
+            for cc_ in cand:
+                fin = jnp.min(jnp.where(jnp.isfinite(cc_), 1.0, 0.0),
+                              axis=tuple(range(cc_.ndim - 1)), keepdims=True)
+                cand_ok = jnp.logical_and(cand_ok, fin.reshape(1, T) > 0.5)
+            accept = jnp.logical_and(a_new > a_cur, cand_ok)   # (1, T)
+
+            def pick(c_, o_):
+                if c_.ndim == 3:
+                    return jnp.where(accept[None, :, :].reshape(1, 1, T),
+                                     c_, o_)
+                return jnp.where(accept, c_, o_)
+
+            dc = tuple(pick(c_, o_) for c_, o_ in zip(cand, dc))
+
         a0 = cfg.tau * all_step(dc)
         obj_now = (0.5 * sum_lane(u_c[0:1] * obj_gu[0:1])
                    + r_c[0:1, :] + Qslack1 * sum_lane(s_c[0:1]))

@@ -57,6 +57,14 @@ class QPIPMConfig:
     # active set and the fraction-to-boundary rule blocks every step at
     # α ~ 1e-5 even with a Mehrotra lift — see CLAUDE.md perf notes.)
     sl_min: float = 0.1
+    # Gondzio multiple centrality correctors: after the Mehrotra corrector,
+    # `gondzio` extra factorization-reusing solves per iteration, each on a
+    # pure complementarity rhs that pushes outlier trial products back into
+    # [bmin·σμ, bmax·σμ]. Same scheme (and measured motivation) as
+    # ``CVaRIPMConfig.gondzio`` — see cvar_ipm.py.
+    gondzio: int = 0
+    gondzio_bmin: float = 0.1
+    gondzio_bmax: float = 10.0
 
 
 @_f32_precision
@@ -263,6 +271,58 @@ def qp_ipm_solve(
             sl2_ * lam2_ + dsl2a * dlam2a - sigma_c * gap,
             sl3_ * lam3_ + dsl3a * dlam3a - sigma_c * gap,
         )
+
+        def direction_pure(rc1, rc2, rc3):
+            """`direction` with zero primal/dual residual terms — the rhs of
+            a pure centrality correction (reuses the iteration's factor)."""
+            ex1 = -rc1 / sl1_
+            ex2 = -rc2 / sl2_
+            ex3 = -rc3 / sl3_
+            qx = row_mulT(ex1)
+            qu = jnp.einsum("rn,br->bn", Fu, ex2)
+            qs = -ex1 - ex3
+            dx, du, dsv = kkt_solve(
+                fac, ws, qx, qu, jnp.zeros_like(rd_term), qs)
+            drow1 = row_mul(dx[cx_nodes]) - dsv
+            drow2 = jnp.einsum("rn,bn->br", Fu, du)
+            dsl1 = -drow1
+            dsl2 = -drow2
+            dsl3 = dsv
+            dlam1 = (-rc1 - lam1_ * dsl1) / sl1_
+            dlam2 = (-rc2 - lam2_ * dsl2) / sl2_
+            dlam3 = (-rc3 - lam3_ * dsl3) / sl3_
+            return dx, du, dsv, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3
+
+        # Gondzio multiple centrality correctors (see QPIPMConfig.gondzio)
+        for _ in range(cfg.gondzio):
+            mu_t = sigma_c * gap + 1e-30
+            a_cur = all_step(dc)
+            ab = jnp.minimum(1.0, cfg.tau * a_cur + 0.3)
+            (_, _, _, gdsl1, gdlam1, gdsl2, gdlam2, gdsl3, gdlam3) = dc
+            cap = 10.0 * cfg.gondzio_bmax * mu_t
+
+            def outlier(v, dv, lam, dlam):
+                p = (v + ab * dv) * (lam + ab * dlam)
+                t = jnp.clip(p, cfg.gondzio_bmin * mu_t,
+                             cfg.gondzio_bmax * mu_t)
+                # cap the correction: uncapped p − t on far-off-center rows
+                # overflows through the 1/sl recovery and poisons the lane
+                return jnp.clip(p - t, -cap, cap)
+
+            dd = direction_pure(
+                outlier(sl1_, gdsl1, lam1_, gdlam1),
+                outlier(sl2_, gdsl2, lam2_, gdlam2),
+                outlier(sl3_, gdsl3, lam3_, gdlam3))
+            cand = tuple(c + e for c, e in zip(dc, dd))
+            a_new = all_step(cand)
+            # NaN components pass max_step unnoticed (NaN < 0 is False →
+            # ratio ∞) — require explicit finiteness before accepting
+            cand_ok = jnp.asarray(True)
+            for c in cand:
+                cand_ok = jnp.logical_and(cand_ok, jnp.all(jnp.isfinite(c)))
+            accept = jnp.logical_and(a_new > a_cur, cand_ok)
+            dc = tuple(jnp.where(accept, c, o) for c, o in zip(cand, dc))
+
         a0 = cfg.tau * all_step(dc)
         a0 = jnp.where(gap < cfg.gap_tol * (1.0 + jnp.abs(gap)), 0.0, a0)
         (dx, du, dsv, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3) = dc

@@ -526,6 +526,63 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
             sl2 * lam2 + dsl2a * dlam2a - sigma_c * gap,
             sl3 * lam3 + dsl3a * dlam3a - sigma_c * gap,
         )
+
+        def direction_pure(rc1, rc2, rc3):
+            """`direction` with zero residual terms — pure centrality rhs
+            (reuses the iteration's factorization)."""
+            ex1 = -rc1 / sl1
+            ex2 = -rc2 / sl2
+            ex3 = -rc3 / sl3
+            qx_r = row_mulT(ex1)
+            qu_r = fu_mulT(ex2)
+            qs_r = -ex1 - ex3
+            dx, du, dsv = kkt_solve(qx_r, qu_r, jnp.zeros_like(rd_term), qs_r)
+            drow1 = row_mul(cx_gather(dx)) - dsv
+            drow2 = fu_mul(du)
+            dsl1_ = -drow1
+            dsl2_ = -drow2
+            dsl3_ = dsv
+            dlam1_ = (-rc1 - lam1 * dsl1_) / sl1
+            dlam2_ = (-rc2 - lam2 * dsl2_) / sl2
+            dlam3_ = (-rc3 - lam3 * dsl3_) / sl3
+            return dx, du, dsv, dsl1_, dlam1_, dsl2_, dlam2_, dsl3_, dlam3_
+
+        # Gondzio multiple centrality correctors — same scheme as the vmapped
+        # solver (tree_qp_ipm.py) and the fused CVaR kernel (cvar_pl.py):
+        # per-lane accept (1, T) masks, rank-3 broadcasts kept Mosaic-safe.
+        for _ in range(cfg.gondzio):
+            mu_t = sigma_c * gap + 1e-30                   # (1, T)
+            a_cur = all_step(dc)
+            ab3 = jnp.minimum(1.0, cfg.tau * a_cur + 0.3)[None]   # (1, 1, T)
+            lo3 = (cfg.gondzio_bmin * mu_t)[None]
+            hi3 = (cfg.gondzio_bmax * mu_t)[None]
+            cap3 = 10.0 * hi3
+            (_, _, _, gdsl1, gdlam1, gdsl2, gdlam2, gdsl3, gdlam3) = dc
+
+            def outlier(v, dv, lam_, dlam_):
+                p = (v + ab3 * dv) * (lam_ + ab3 * dlam_)
+                t = jnp.clip(p, lo3, hi3)
+                # cap the correction: uncapped p − t on far-off-center rows
+                # overflows through the 1/sl recovery and poisons the lane
+                return jnp.clip(p - t, -cap3, cap3)
+
+            dd = direction_pure(
+                outlier(sl1, gdsl1, lam1, gdlam1),
+                outlier(sl2, gdsl2, lam2, gdlam2),
+                outlier(sl3, gdsl3, lam3, gdlam3))
+            cand = tuple(c + e for c, e in zip(dc, dd))
+            a_new = all_step(cand)
+            # NaN passes max_step unnoticed (NaN < 0 is False → ratio ∞) —
+            # require explicit per-lane finiteness before accepting
+            cand_ok = jnp.ones((1, T), dtype) > 0.5
+            for cc_ in cand:
+                fin = jnp.min(jnp.where(jnp.isfinite(cc_), 1.0, 0.0),
+                              axis=tuple(range(cc_.ndim - 1)), keepdims=True)
+                cand_ok = jnp.logical_and(cand_ok, fin.reshape(1, T) > 0.5)
+            accept = jnp.logical_and(a_new > a_cur, cand_ok)   # (1, T)
+            dc = tuple(jnp.where(accept[None], c_, o_)
+                       for c_, o_ in zip(cand, dc))
+
         a0 = cfg.tau * all_step(dc)
         a0 = jnp.where(gap < cfg.gap_tol * (1.0 + jnp.abs(gap)), 0.0, a0)
         (dx, du, dsv, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3) = dc

@@ -74,7 +74,8 @@ def main():
     model = highway_model(cons, pset, N=N, dt=dt)
     params = init_branch_mpc(n, d, N, NB, xRef, am=6.0, rm=0.3, N_lane=4, W=cons.W)
 
-    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "12")))
+    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "12")),
+                      gondzio=int(os.environ.get("BENCH_GONDZIO", "0")))
     backend = os.environ.get("BENCH_BACKEND", "pl")
     if backend == "vmap":
         topo, init_carry, step = make_branch_mpc_step(

@@ -48,8 +48,15 @@ def main():
     model = highway_model(cons, pset, N=N, dt=0.1)
     params = init_branch_mpc(4, 2, N, NB, xt, am=6.0, rm=0.3, N_lane=4, W=cons.W)
 
-    iters = int(os.environ.get("CVAR_ITERS", "40"))
+    # Defaults (2026-08-19, B=8192 fused kernel, real v5e): gondzio=2 @ 24
+    # iterations beats plain Mehrotra @ 40 on BOTH axes — 16.3k vs 14.7k
+    # solves/s AND warm-gap p50 0.47 vs 0.98 (the correctors converge the
+    # jam-prone lanes by ~24 iterations; see cvar_ipm.py docstring and
+    # scripts/cvar_iter_study.py: f64 warm accuracy plateaus at its ~2e-3
+    # oracle-agreement floor by 24 iterations with gondzio=2 vs 40 without).
+    iters = int(os.environ.get("CVAR_ITERS", "24"))
     cfg = CVaRIPMConfig(iters=iters,
+                        gondzio=int(os.environ.get("CVAR_GONDZIO", "2")),
                         outer_dtype=os.environ.get("CVAR_OUTER", "same"))
     backend = os.environ.get("BENCH_BACKEND", "vmap")
     if backend == "vmap":

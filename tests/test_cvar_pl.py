@@ -32,8 +32,8 @@ from tests.test_cvar_solver import setup_case
 from tests.test_tree_qp import overtake_setup
 
 
-def solve_pl(cplan, ts_b, params, xRefs, iters, ralpha=0.9):
-    cfg = CVaRIPMConfig(iters=iters)
+def solve_pl(cplan, ts_b, params, xRefs, iters, ralpha=0.9, gondzio=0):
+    cfg = CVaRIPMConfig(iters=iters, gondzio=gondzio)
     return cvar_ipm_solve_pl(
         cplan, _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh),
         _to_bl(ts_b.h0), _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
@@ -102,6 +102,50 @@ def test_cvar_pl_tracks_vmapped_iterations():
     # both converge; the applied input (root stage) coincides
     up = np.asarray(jnp.moveaxis(u_bl, -1, 0))
     assert np.abs(np.asarray(uv)[:, 0] - up[:, 0]).max() < 2e-2
+
+
+def test_cvar_pl_gondzio_tracks_vmapped():
+    """Gondzio correctors on the fused path are the same algorithm as the
+    vmapped solver's (``cvar_ipm.py`` corrector loop): gap trajectories
+    must be bit-near-identical early on, and the applied input must agree
+    after convergence.  Also pins that gondzio=2 still passes the oracle
+    gate at the reduced 24-iteration budget used by the bench."""
+    cons, pset, model, params = overtake_setup(N=8, NB=2)
+    topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
+    cplan = build_cvar_plan(topo, replicate_quirks=True)
+    B = 4
+    rng = np.random.default_rng(7)
+    xs = np.array([0.0, 1.8, 20.0, 0.0]) + rng.normal(0, 0.2, (B, 4))
+    zs = np.array([12.0, 1.8, 17.0, 0.0]) + rng.normal(0, 0.5, (B, 4))
+    xs = jnp.asarray(xs)
+    zs = jnp.asarray(zs)
+    xRef = jnp.asarray(params.xRef, xs.dtype)
+    u0 = jnp.zeros((topo.totalu, params.d), xs.dtype)
+    ts_b = jax.vmap(
+        lambda x, z: build_tree(model, topo, x, z, u0, pset.params))(xs, zs)
+
+    cfg = CVaRIPMConfig(iters=24, gondzio=2)
+
+    def solve_v(ts):
+        out = cvar_ipm_solve(
+            cplan, ts, params.Q, params.R, params.Qslack, xRef, 0.9,
+            params.Fx, params.bx, params.Fu, params.bu, ts.x_lin[0], cfg=cfg)
+        return out[1], out[4]["gaps"]
+
+    uv, gaps_v = jax.jit(jax.vmap(solve_v))(ts_b)
+    x_bl, u_bl, s_bl, r_bl, aux = solve_pl(
+        cplan, ts_b, params, jnp.broadcast_to(xRef, (B, 4)), 24, gondzio=2)
+    gaps_p = np.asarray(aux["gaps"]).T                       # (B, iters)
+    gv = np.asarray(gaps_v)
+    assert np.allclose(gv[:, :10], gaps_p[:, :10], rtol=1e-8, atol=1e-10)
+    up = np.asarray(jnp.moveaxis(u_bl, -1, 0))
+    assert np.abs(np.asarray(uv)[:, 0] - up[:, 0]).max() < 2e-2
+    # oracle gate at the bench's reduced iteration budget
+    oracle, u_o, params1, model1, cplan1, ts1, x1 = setup_case(True)
+    xRefs = jnp.asarray(params1.xRef)[None]
+    _, u1, _, _, aux1 = solve_pl(cplan1, batch1(ts1), params1, xRefs, 24,
+                                 gondzio=2)
+    assert np.abs(np.asarray(u1)[..., 0][0] - u_o).max() < 5e-4
 
 
 def test_cvar_pl_batched_controller_step():

