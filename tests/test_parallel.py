@@ -66,3 +66,84 @@ def test_mesh_1d():
     carrys = init_b(B, jnp.float32)
     _, u, metrics = sharded(carrys, xs, zs, xR, pset.params)
     assert u.shape == (B, topo.totalu, 2)
+
+
+# ---------------------------------------------------------------------------
+# In-tree branch-axis sharding (parallel/tree_shard.py)
+# ---------------------------------------------------------------------------
+
+
+def _random_tree_kkt_case(N=4, NB=3, m=2, n=3, d=2, T=8, seed=0):
+    from belief_planning_tpu.solvers.tree_qp import build_stage_plan
+    from belief_planning_tpu.tree.topology import build_topology
+
+    topo = build_topology(N, NB, m, n, d)
+    plan = build_stage_plan(topo)
+    rng = np.random.default_rng(seed)
+    tu, nl = topo.totalu, m ** NB
+    dt = jnp.float64
+
+    # symmetric + diagonally-dominant blocks (batch-last)
+    def sym(shape, dim, scale, shift):
+        M = rng.normal(0, scale, shape)
+        Ms = 0.5 * (M + np.swapaxes(M, -3, -2))
+        return jnp.asarray(Ms + shift * np.eye(dim)[:, :, None], dt)
+
+    blocks = dict(
+        Qx2=sym((tu, n, n, T), n, 0.1, 2.0),
+        Ru2=sym((tu, d, d, T), d, 0.1, 1.0),
+        Dab2=jnp.asarray(rng.normal(0, 0.05, (tu, d, d, T)), dt),
+        A=jnp.asarray(np.eye(n)[:, :, None] + rng.normal(0, 0.1, (tu, n, n, T)), dt),
+        B=jnp.asarray(rng.normal(0, 0.3, (tu, n, d, T)), dt),
+        qx=jnp.asarray(rng.normal(0, 1.0, (tu, n, T)), dt),
+        qu=jnp.asarray(rng.normal(0, 1.0, (tu, d, T)), dt),
+        Pterm2=sym((nl, n, n, T), n, 0.1, 2.0),
+        qterm=jnp.asarray(rng.normal(0, 1.0, (nl, n, T)), dt),
+    )
+    return topo, plan, blocks
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_tree_kkt_branch_sharded_matches_unsharded(mesh_shape):
+    """Branch-axis-sharded tree-Riccati KKT solve == unsharded level-blocked
+    sweeps, bit-near-exactly (same fold order), on a deep m=2/NB=3 tree where
+    levels 1..3 shard over mp and the root is replicated."""
+    from belief_planning_tpu.parallel.tree_shard import (
+        make_sharded_tree_kkt,
+        split_ulevels,
+    )
+    from belief_planning_tpu.solvers.tree_qp_pl import (
+        _factor_blocks,
+        _forward_blocks,
+        _linear_blocks,
+        build_levels,
+    )
+
+    assert len(jax.devices()) >= 8
+    topo, plan, bl = _random_tree_kkt_case()
+    n, d, m, T = topo.n, topo.d, topo.m, 8
+    levels = build_levels(plan)
+
+    # reference: unsharded sweeps on the flat arrays
+    K_l, Hinv_l, Acl_l = _factor_blocks(
+        levels, bl["Qx2"], bl["Dab2"], bl["Ru2"], bl["Pterm2"],
+        bl["A"], bl["B"], n, d, m, 0.0)
+    kff_l = _linear_blocks(levels, K_l, Hinv_l, Acl_l, bl["B"],
+                           bl["qx"], bl["qu"], bl["qterm"], n, d, m)
+    dx_ref, du_ref = _forward_blocks(levels, K_l, Hinv_l, Acl_l, bl["B"],
+                                     kff_l, n, d, m, jnp.float64, T)
+
+    mesh = make_mesh(mesh_shape, ("dp", "mp"))
+    solve = make_sharded_tree_kkt(plan, mesh)
+    blocks = {k: split_ulevels(bl[k], levels)
+              for k in ("Qx2", "Dab2", "Ru2", "A", "B", "qx", "qu")}
+    blocks["Pterm2"] = bl["Pterm2"]
+    blocks["qterm"] = bl["qterm"]
+    dx_l, du_l = solve(blocks)
+
+    dx_sh = jnp.concatenate(
+        [b.reshape(-1, n, T) for b in dx_l], axis=0)
+    du_sh = jnp.concatenate(
+        [b.reshape(-1, d, T) for b in du_l], axis=0)
+    assert np.abs(np.asarray(dx_sh) - np.asarray(dx_ref)).max() < 1e-11
+    assert np.abs(np.asarray(du_sh) - np.asarray(du_ref)).max() < 1e-11
