@@ -11,14 +11,17 @@ stage-cost assembly → Mehrotra IPM iterations (one Riccati factorization +
 two structured KKT solves each) — identical to the solve used by the
 closed-loop environments and parity-tested against the NumPy oracle.
 
-The IPM runs 12 iterations with the near-feasible start (sl_min=0.1,
-solvers/tree_qp_ipm.py): the smallest count that passes the closed-loop oracle
-parity gate with margin, including the cold first solve (measured max
-applied-input deviation 2.6e-4 over a 10-step episode vs the 1e-3 gate;
-10 iterations still passes at 7.4e-4 but without margin — see
-tests/test_controller_parity.py). History: the original centered start with
-slack floor 1.0 manufactured a ~7-iteration infeasibility transient and needed
-20 iterations for the same accuracy.
+The IPM runs 8 iterations + 2 Gondzio centrality correctors per iteration
+with the near-feasible start (sl_min=0.1, solvers/tree_qp_ipm.py): the
+cheapest config that passes the closed-loop oracle parity gate (measured max
+applied-input deviation 5.0e-4 over a 10-step episode vs the 1e-3 gate — the
+iters × gondzio sweep is in scripts/qp_iter_study.py; plain Mehrotra needs 12
+iterations for comparable margin at 2.6e-4 and benches 3-4% slower:
+interleaved A/B 2026-08-19, (8,g2) 37.4-37.8k vs (12,g0) 32.7-36.9k; (10,g2)
+35.1k). Correctors also improve on-chip f32 feasibility (B=256 drive: 0.898
+@ g2-9 vs 0.844 @ g0-12). History: the original centered start with slack
+floor 1.0 manufactured a ~7-iteration infeasibility transient and needed 20
+iterations for the same accuracy.
 
 Backend (BENCH_BACKEND): "pl" (default) = Pallas fused-IPM iteration kernel
 (solvers/tree_qp_pl.py, on-chip applied-input agreement with the vmapped
@@ -74,8 +77,8 @@ def main():
     model = highway_model(cons, pset, N=N, dt=dt)
     params = init_branch_mpc(n, d, N, NB, xRef, am=6.0, rm=0.3, N_lane=4, W=cons.W)
 
-    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "12")),
-                      gondzio=int(os.environ.get("BENCH_GONDZIO", "0")))
+    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "8")),
+                      gondzio=int(os.environ.get("BENCH_GONDZIO", "2")))
     backend = os.environ.get("BENCH_BACKEND", "pl")
     if backend == "vmap":
         topo, init_carry, step = make_branch_mpc_step(

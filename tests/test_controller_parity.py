@@ -69,14 +69,21 @@ def test_closed_loop_input_parity():
 
 
 def test_closed_loop_input_parity_bench_config():
-    """Gate the bench.py solver setting (IPM, 12 iterations, near-feasible
-    start sl_min=0.1) against the BASELINE.md 1e-3 closed-loop gate, cold
-    first solve included. Measured ~2.6e-4 on the full overtake config
-    (N=8, NB=2, 10 steps); 10 iterations passes only without margin (7.4e-4),
-    8 fails. The margin assert here is tighter than the gate to catch
-    convergence regressions early."""
+    """Gate the bench.py solver setting (IPM, 8 iterations + 2 Gondzio
+    correctors, near-feasible start sl_min=0.1) against the BASELINE.md 1e-3
+    closed-loop gate, cold first solve included. Measured ~5.0e-4 on the full
+    overtake config (N=8, NB=2, 10 steps); the iters × gondzio sweep is in
+    scripts/qp_iter_study.py (plain Mehrotra: 12 iters → 2.6e-4, 10 → 7.4e-4,
+    8 fails at 6.8e-3). The margin assert here is tighter than the gate to
+    catch convergence regressions early."""
     from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
 
+    u_o, u_j, _, _ = simulate_closed_loop(
+        n_steps=8, ipm=QPIPMConfig(iters=8, gondzio=2))
+    err = np.abs(u_o - u_j).max()
+    assert err < 8e-4, f"closed-loop input deviation at IPM-8/g2: {err}"
+
+    # the previous default (plain IPM-12) keeps its tighter pin
     u_o, u_j, _, _ = simulate_closed_loop(n_steps=8, ipm=QPIPMConfig(iters=12))
     err = np.abs(u_o - u_j).max()
     assert err < 5e-4, f"closed-loop input deviation at IPM-12: {err}"
