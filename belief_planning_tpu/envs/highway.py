@@ -18,6 +18,18 @@ Reference behaviors preserved:
   logic for the ego's lane-change backup (``:99-118``) — here a pure policy-param
   update, no model rebuild;
 - overtake xRef switching (``:151-167``);
+- vehicle respawn ``replace_veh`` (``Highway_env_branch.py:186-225``) with the
+  same direction windows / adjacent-lane choice / 20-attempt collision-checked
+  sampling; like the reference it does NOT reset ``desired_x`` for the
+  respawned vehicle (quirk kept). The reference defines it on the branch env
+  but only ever calls it from the HMM env loop (``Highway_env.py:224-228``);
+  here ``respawn=True`` enables that loop's far-vehicle check (|Δs|>15 →
+  respawn ahead, fallback anywhere) inside ``step``;
+- NV>2: the reference's ``__init__`` indexes a fixed 2-row ``x0`` and crashes
+  for NV>2 even though ``step`` handles any NV; here vehicles beyond the
+  second are placed by the same collision-checked sampler (documented
+  deviation, PARITY.md). The MPC/xRef interaction logic remains ego vs
+  ``veh_set[1]`` exactly as in the reference;
 - deterministic: all randomness flows from a seeded ``numpy.random.Generator``
   (the reference uses unseeded global RNG — SURVEY.md §4).
 """
@@ -58,7 +70,8 @@ class HighwayEnv:
     """Highway overtake environment (reference ``Highway_env``,
     ``Highway_env_branch.py:46-225``)."""
 
-    def __init__(self, NV, mpc, cons, lc_target, N_lane=6, seed=0):
+    def __init__(self, NV, mpc, cons, lc_target, N_lane=6, seed=0,
+                 respawn=False):
         self.dt = mpc.model.dt
         self.NV = NV
         self.N_lane = N_lane
@@ -67,11 +80,25 @@ class HighwayEnv:
         self.m = mpc.model.m
         self.LB = [self.cons.W / 2, N_lane * 3.6 - self.cons.W / 2]
         self.rng = np.random.default_rng(seed)
+        self.respawn = respawn
         x0 = np.array([[0., 1.8, V0, 0.], [5., 5.4, V0, 0.]])
         self.veh_set: List[Vehicle] = [
-            Vehicle(x0[i].copy(), dt=self.dt) for i in range(NV)
+            Vehicle(x0[i].copy(), dt=self.dt, laneidx=int(round((x0[i, 1] - 1.8) / 3.6)))
+            for i in range(min(NV, 2))
         ]
-        self.desired_x = [np.array([0., x0[i, 1], V0, 0.]) for i in range(NV)]
+        # NV>2: place extra vehicles with the replace_veh sampler (the
+        # reference init crashes here — deviation documented in PARITY.md)
+        for i in range(2, NV):
+            self.veh_set.append(Vehicle(x0[1].copy(), dt=self.dt))
+            if not self.replace_veh(i, 2):
+                # crowded fallback: stagger behind the ego in the far lane
+                lane = (i - 1) % N_lane
+                self.veh_set[i] = Vehicle(
+                    np.array([-8. * (i - 1), 1.8 + 3.6 * lane, V0, 0.]),
+                    dt=self.dt, laneidx=lane)
+        self.desired_x = [
+            np.array([0., self.veh_set[i].state[1], V0, 0.]) for i in range(NV)
+        ]
         self.lc_target = np.asarray(lc_target, float)
         # sim-path policy functions (numeric constants)
         self._sim_pset = pol.highway_policy_set(
@@ -80,6 +107,43 @@ class HighwayEnv:
 
     def _with_probability(self, P):
         return self.rng.uniform() <= P
+
+    def replace_veh(self, idx, direction=2):
+        """Respawn vehicle ``idx`` near the ego (reference
+        ``Highway_env_branch.py:186-225``): direction 0 = ahead (+8..+13 m),
+        1 = behind (−13..−5 m), else anywhere (±15 m); target lane adjacent to
+        the ego's; ≤20 collision-checked draws. Like the reference, does not
+        touch ``desired_x`` (the respawned vehicle keeps chasing its previous
+        desired lane until the next lane-intent roll — quirk kept)."""
+        if idx == 0:
+            return False
+        ego = self.veh_set[0]
+        if direction == 0:
+            LB, UB = ego.state[0] + 8, ego.state[0] + 13
+        elif direction == 1:
+            LB, UB = ego.state[0] - 13, ego.state[0] - 5
+        else:
+            LB, UB = ego.state[0] - 15, ego.state[0] + 15
+        if ego.laneidx == 0:
+            lane = 1
+        elif ego.laneidx == self.N_lane - 1:
+            lane = self.N_lane - 2
+        else:
+            lane = ego.laneidx - 1 if self._with_probability(0.5) else ego.laneidx + 1
+        for _ in range(20):
+            Y = (lane + 0.5) * LANE_WIDTH + self.rng.normal(0, 0.1)
+            X = self.rng.random() * (UB - LB) + LB
+            ok = all(
+                not (abs(Y - self.veh_set[i].state[1]) <= 2.2
+                     and abs(X - self.veh_set[i].state[0]) <= 5)
+                for i in range(len(self.veh_set)) if i != idx
+            )
+            if ok:
+                self.veh_set[idx] = Vehicle(
+                    np.array([X, Y, ego.state[2], 0.]), dt=self.dt,
+                    backupidx=0, laneidx=lane)
+                return True
+        return False
 
     def _sim_policy_u(self, idx, x):
         return np.asarray(self._sim_pset.fns[idx](x, self._sim_pset.params[idx]))
@@ -177,6 +241,14 @@ class HighwayEnv:
             u_set[i] = u0_set[i]
             self.veh_set[i].step(u_set[i])
             x_set[i] = self.veh_set[i].state
+            # far-vehicle respawn (the HMM env loop's check, Highway_env.py:
+            # 224-228, applied to the branch env's replace_veh when enabled)
+            if self.respawn and abs(
+                self.veh_set[i].state[0] - self.veh_set[0].state[0]
+            ) > 15:
+                if not self.replace_veh(i, 0):
+                    self.replace_veh(i, 2)
+                x_set[i] = self.veh_set[i].state
         return u_set, x_set, xx_set, xPred, zPred, branch_w
 
 

@@ -89,3 +89,74 @@ def make_sharded_ensemble_step(model, params, mesh: Mesh, variant="prox",
         )
     )
     return topo, init_batched, sharded
+
+
+def _shard_ensemble(mesh, init_carry, bstep, feas_of, res_of):
+    """shard_map a batched controller step (batch-leading pytrees) over every
+    mesh axis, with psum/pmax ensemble metrics over ICI."""
+    axes = mesh.axis_names
+
+    def step_local(carrys, xs, zs, xRefs, policy_params):
+        carrys, res = bstep(carrys, xs, zs, xRefs, policy_params)
+        feas = jnp.sum(feas_of(res).astype(jnp.float32))
+        count = jnp.asarray(xs.shape[0], jnp.float32)
+        worst = jnp.max(res_of(res))
+        for ax in axes:
+            feas = jax.lax.psum(feas, ax)
+            count = jax.lax.psum(count, ax)
+            worst = jax.lax.pmax(worst, ax)
+        metrics = {"feasible_frac": feas / count, "worst_res": worst}
+        return carrys, res.uPred, metrics
+
+    spec, repl = P(axes), P()
+    sharded = jax.jit(
+        jax.shard_map(step_local, mesh=mesh,
+                      in_specs=(spec, spec, spec, spec, repl),
+                      out_specs=(spec, spec, repl), check_vma=False))
+
+    def init_batched(batch: int, dtype=jnp.float32):
+        c = init_carry(dtype)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), c)
+
+    return init_batched, sharded
+
+
+def make_sharded_ipm_ensemble_step(model, params, mesh: Mesh, variant="prox",
+                                   ipm=None, backend="pl_xla",
+                                   backend_opts=None):
+    """Mesh-sharded ensemble step on the BENCH path: the batch-last fused-
+    iteration Mehrotra IPM (``solvers/tree_qp_pl``) under ``shard_map``. This
+    is the flagship configuration — identical math to ``bench.py``'s ``pl``
+    backend (``pl_xla`` runs the same iteration as plain XLA so it also
+    executes on CPU meshes). Returns (topo, init_batched, sharded_step)."""
+    from belief_planning_tpu.controllers.branch_mpc import (
+        make_branch_mpc_batched_step,
+    )
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    ipm = ipm if ipm is not None else QPIPMConfig(iters=8, gondzio=2)
+    topo, init_carry, bstep = make_branch_mpc_batched_step(
+        model, params, variant, ipm=ipm, backend=backend,
+        backend_opts=backend_opts)
+    init_batched, sharded = _shard_ensemble(
+        mesh, init_carry, bstep, lambda r: r.feasible, lambda r: r.prim_res)
+    return topo, init_batched, sharded
+
+
+def make_sharded_cvar_ensemble_step(model, params, mesh: Mesh, ralpha=0.9,
+                                    ipm=None, use_pallas=False):
+    """Mesh-sharded CVaR ensemble step (batch-last fused CVaR IPM,
+    ``solvers/cvar_pl``, under ``shard_map``). ``use_pallas=False`` runs the
+    XLA twin of the kernel so the same program executes on CPU meshes.
+    Returns (topo, init_batched, sharded_step)."""
+    from belief_planning_tpu.controllers.cvar_mpc import (
+        make_cvar_mpc_batched_step,
+    )
+    from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig
+
+    ipm = ipm if ipm is not None else CVaRIPMConfig(iters=24, gondzio=2)
+    topo, cplan, init_carry, bstep = make_cvar_mpc_batched_step(
+        model, params, ralpha, ipm=ipm, use_pallas=use_pallas)
+    init_batched, sharded = _shard_ensemble(
+        mesh, init_carry, bstep, lambda r: r.gap < 1.0, lambda r: r.gap)
+    return topo, init_batched, sharded

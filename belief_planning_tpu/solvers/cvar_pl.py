@@ -838,6 +838,7 @@ def cvar_ipm_solve_pl(
     use_pallas: bool = True,
     tile_b: int = 128,
     S_bl=None,
+    interpret: bool = False,
 ):
     """Batch-last fused-iteration CVaR IPM. Inputs are ``_to_bl``-transposed
     tree arrays; ``xRef_bl`` is (n, Z); ``p_bl`` is (n_branches, m, Z).
@@ -949,7 +950,7 @@ def cvar_ipm_solve_pl(
 
     if use_pallas:
         step_fn = _make_pallas_cvar_iteration(
-            cplan, cfg, dims, totalx, totalu, dtype, tile_b)
+            cplan, cfg, dims, totalx, totalu, dtype, tile_b, interpret)
     else:
         def step_fn(*args):
             return iterate(*args)
@@ -994,7 +995,7 @@ def cvar_ipm_solve_pl(
 
 
 def _make_pallas_cvar_iteration(cplan, cfg, dims, totalx, totalu, dtype,
-                                tile_b):
+                                tile_b, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1063,6 +1064,7 @@ def _make_pallas_cvar_iteration(cplan, cfg, dims, totalx, totalu, dtype,
         return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
                               out_specs=tuple(out_specs),
                               out_shape=tuple(out_shapes),
-                              compiler_params=cparams)(*args)
+                              compiler_params=cparams,
+                              interpret=interpret)(*args)
 
     return step_fn

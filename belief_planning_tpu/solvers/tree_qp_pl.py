@@ -667,6 +667,7 @@ def qp_ipm_solve_pl(
     cfg: QPIPMConfig = QPIPMConfig(),
     use_pallas: bool = True,
     tile_b: int = 256,
+    interpret: bool = False,
 ):
     """Fused-iteration IPM, batch-last interface identical to
     ``tree_qp_bl.qp_ipm_solve_bl``. ``use_pallas=False`` runs the same
@@ -724,7 +725,7 @@ def qp_ipm_solve_pl(
     if use_pallas:
         step_fn = _make_pallas_iteration(plan, cfg, nFx, nFu, mtot, n, d,
                                          topo.totalx, totalu, Nc, dtype,
-                                         tile_b)
+                                         tile_b, interpret)
     else:
         def step_fn(*args):
             return iterate(*args)
@@ -772,7 +773,7 @@ def qp_ipm_solve_pl(
 
 
 def _make_pallas_iteration(plan, cfg, nFx, nFu, mtot, n, d, totalx, totalu,
-                           Nc, dtype, tile_b):
+                           Nc, dtype, tile_b, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -859,6 +860,7 @@ def _make_pallas_iteration(plan, cfg, nFx, nFu, mtot, n, d, totalx, totalu,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             compiler_params=cparams,
+            interpret=interpret,
         )(*args)
 
     return step_fn

@@ -127,12 +127,41 @@ def main():
     dt_wall = float(np.median(times))
     solves_per_sec = B / dt_wall
 
+    # --- p50 solve latency vs the real-time budget (BASELINE.json metric) ----
+    # The reference's control period is dt=0.1 s (main_branch.py:29): a single
+    # receding-horizon step must complete inside 100 ms to run in real time.
+    # Measured at small batch (default 256, override BENCH_LAT_BATCH; a single
+    # controller instance is B=1) with the same backend/step as the throughput
+    # number. Timing includes the host→device dispatch + device→host fetch of
+    # the applied input, i.e. what a deployed controller would actually pay.
+    latency = {}
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        BL = int(os.environ.get("BENCH_LAT_BATCH", "256"))
+        xs_l, zs_l, xRefs_l = xs[:BL], zs[:BL], xRefs[:BL]
+        carrys_l = jax.tree.map(lambda a: a[:BL], carrys)
+        carrys_l, res_l = vstep(carrys_l, xs_l, zs_l, xRefs_l, pset.params)
+        _ = np.asarray(res_l.uPred)     # warm-up/compile at this batch
+        lat = []
+        for _ in range(int(os.environ.get("BENCH_LAT_ITERS", "30"))):
+            t0 = time.perf_counter()
+            carrys_l, res_l = vstep(carrys_l, xs_l, zs_l, xRefs_l, pset.params)
+            _ = np.asarray(res_l.uPred)
+            lat.append(time.perf_counter() - t0)
+        p50_ms = float(np.median(lat)) * 1e3
+        latency = {
+            "latency_p50_ms": round(p50_ms, 2),
+            "latency_batch": BL,
+            "rt_budget_ms": dt * 1e3,
+            "rt_budget_ok": bool(p50_ms <= dt * 1e3),
+        }
+
     baseline = 10000.0 / 16.0   # north-star aggregate / v5e-16 chips
     print(json.dumps({
         "metric": "branch_mpc_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / baseline, 3),
+        **latency,
     }))
 
 

@@ -32,7 +32,8 @@ from tests.test_cvar_solver import setup_case
 from tests.test_tree_qp import overtake_setup
 
 
-def solve_pl(cplan, ts_b, params, xRefs, iters, ralpha=0.9, gondzio=0):
+def solve_pl(cplan, ts_b, params, xRefs, iters, ralpha=0.9, gondzio=0,
+             **kw):
     cfg = CVaRIPMConfig(iters=iters, gondzio=gondzio)
     return cvar_ipm_solve_pl(
         cplan, _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh),
@@ -40,7 +41,7 @@ def solve_pl(cplan, ts_b, params, xRefs, iters, ralpha=0.9, gondzio=0):
         jnp.moveaxis(ts_b.p, 0, -1),
         params.Q, params.R, params.Qslack, _to_bl(jnp.asarray(xRefs)),
         ralpha, params.Fx, params.bx, params.Fu, params.bu,
-        cfg=cfg, use_pallas=False)
+        cfg=cfg, **{"use_pallas": False, **kw})
 
 
 def batch1(ts):
@@ -146,6 +147,30 @@ def test_cvar_pl_gondzio_tracks_vmapped():
     _, u1, _, _, aux1 = solve_pl(cplan1, batch1(ts1), params1, xRefs, 24,
                                  gondzio=2)
     assert np.abs(np.asarray(u1)[..., 0][0] - u_o).max() < 5e-4
+
+
+def test_cvar_pallas_kernel_body_interpret_matches_xla():
+    """The ACTUAL CVaR Pallas kernel body (use_pallas=True) in interpret mode
+    vs the plain-XLA twin (use_pallas=False) — same ``iterate`` closure, one
+    through the Pallas tiling/BlockSpec plumbing, one direct. Divergence in
+    the kernel wrapper (tile indexing, const tiling, 2D-gap boundary) fails
+    here on CPU rather than only on-chip."""
+    oracle, u_o, params, model, cplan, ts, x = setup_case(True)
+    xRefs = jnp.asarray(params.xRef)[None]
+    ts_b = batch1(ts)
+    # B=2: duplicated lane, tile 1 → exercises the grid (2 programs)
+    ts2 = jax.tree.map(lambda a: jnp.concatenate([a, a], 0), ts_b)
+    xRefs2 = jnp.concatenate([xRefs, xRefs], 0)
+    out_x = solve_pl(cplan, ts2, params, xRefs2, 6, gondzio=2)
+    out_i = solve_pl(cplan, ts2, params, xRefs2, 6, gondzio=2,
+                     use_pallas=True, interpret=True, tile_b=1)
+    for a, b, name in [(out_x[1], out_i[1], "u"), (out_x[0], out_i[0], "x"),
+                       (out_x[4]["gaps"], out_i[4]["gaps"], "gaps")]:
+        da = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert da < 1e-10, f"cvar kernel-body {name} mismatch {da}"
+    # the two duplicated lanes (separate grid programs) agree with each other
+    assert np.abs(np.asarray(out_i[1])[..., 0]
+                  - np.asarray(out_i[1])[..., 1]).max() == 0.0
 
 
 def test_cvar_pl_batched_controller_step():

@@ -41,6 +41,52 @@ def test_highway_overtake_closed_loop():
     assert w_rec[0] is not None
 
 
+def test_highway_nv4_respawn():
+    """NV>2 scenario management + vehicle respawn (reference replace_veh,
+    Highway_env_branch.py:186-225; far-vehicle check Highway_env.py:224-228).
+    Seeded, deterministic."""
+    N, NB = 4, 1
+    cons = BranchConstants()
+    xt = np.array([0.5, 1.8, 15.0, 0.0])
+    pset = highway_policy_set(cons, xt)
+    model = highway_model(cons, pset, N=N, dt=0.1)
+    params = init_branch_mpc(4, 2, N, NB, xt, am=6.0, rm=0.3, N_lane=4, W=cons.W)
+    mpc = BranchMPCProx(params, model, pset.params,
+                        admm=ADMMConfig(iters=100, polish_iters=15),
+                        dtype=jnp.float32)
+    env = HighwayEnv(NV=4, mpc=mpc, cons=cons, lc_target=xt, N_lane=4, seed=3,
+                     respawn=True)
+    assert len(env.veh_set) == 4
+    # extra vehicles spawned in-bounds and not overlapping
+    for i in range(4):
+        assert 0.0 < env.veh_set[i].state[1] < 4 * 3.6
+    # direct respawn: direction=0 places the vehicle 8-13 m ahead of the ego
+    ego_x = env.veh_set[0].state[0]
+    assert env.replace_veh(1, 0)
+    assert 8.0 <= env.veh_set[1].state[0] - ego_x <= 13.0
+    assert env.replace_veh(2, 1)
+    assert -13.0 <= env.veh_set[2].state[0] - ego_x <= -5.0
+    assert not env.replace_veh(0)     # ego is never respawned
+    recs = highway_sim(env, T=1.0)    # 10 steps with 4 vehicles + respawn
+    state_rec, input_rec, *_ , collision = recs
+    assert state_rec.shape == (4, 10, 4)
+    # respawn keeps every obstacle within the far-vehicle window after its step
+    for t in range(10):
+        for i in range(1, 4):
+            assert abs(state_rec[i, t, 0] - state_rec[0, t, 0]) <= 15 + 2.1
+    # determinism: same seed + fresh controller reproduces the episode
+    mpc2 = BranchMPCProx(params, model, pset.params,
+                         admm=ADMMConfig(iters=100, polish_iters=15),
+                         dtype=jnp.float32)
+    env2 = HighwayEnv(NV=4, mpc=mpc2, cons=cons, lc_target=xt, N_lane=4, seed=3,
+                      respawn=True)
+    env2.replace_veh(1, 0)
+    env2.replace_veh(2, 1)
+    env2.replace_veh(0)
+    recs2 = highway_sim(env2, T=1.0)
+    np.testing.assert_allclose(recs2[0], state_rec, atol=1e-12)
+
+
 def test_quadruped_closed_loop():
     cons = QuadConstants()
     pset = quadruped_policy_set(v0=0.2)

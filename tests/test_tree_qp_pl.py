@@ -5,10 +5,10 @@ batch-last solver.
 ``qp_ipm_solve_bl`` — identical Mehrotra iteration, level-blocked layout and
 Python-unrolled recursions instead of gathers + lax.scan — so two
 receding-horizon steps over a batch of perturbed overtake states must agree to
-solver precision in f64. (The ``use_pallas=True`` path wraps the identical
-iteration in one Pallas TPU kernel; it cannot run on CPU and is covered by the
-TPU bench.)
-"""
+solver precision in f64. The ``use_pallas=True`` kernel BODY is additionally
+pinned on CPU via Pallas interpret mode (tiny batch), bit-compared to the XLA
+twin — a divergence between what the TPU kernel computes and what the tests
+validate fails here, not just on-chip."""
 
 import numpy as np
 import jax
@@ -22,11 +22,13 @@ from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
 from tests.test_tree_qp import overtake_setup
 
 
-def _run(backend, steps=2, iters=14, N=4, NB=2, B=8, gondzio=0):
+def _run(backend, steps=2, iters=14, N=4, NB=2, B=8, gondzio=0,
+         backend_opts=None):
     cons, pset, model, params = overtake_setup(N=N, NB=NB)
     ipm = QPIPMConfig(iters=iters, gondzio=gondzio)
     topo, init_carry, step = make_branch_mpc_batched_step(
-        model, params, "prox", ipm=ipm, backend=backend)
+        model, params, "prox", ipm=ipm, backend=backend,
+        backend_opts=backend_opts)
     step = jax.jit(step)
 
     rng = np.random.default_rng(3)
@@ -56,6 +58,24 @@ def test_fused_iteration_matches_scan_solver():
         assert dx < 1e-7, f"step {it}: x mismatch {dx}"
         assert dp < 1e-8, f"step {it}: prim_res mismatch {dp}"
     assert np.all(np.asarray(res_pl[-1].feasible))
+
+
+def test_pallas_kernel_body_interpret_matches_xla():
+    """The ACTUAL Pallas kernel body (use_pallas=True) in interpret mode vs
+    the plain-XLA twin of the same iteration (pl_xla). The two run the same
+    ``iterate`` closure — one through Pallas tiling/BlockSpecs, one directly —
+    so any divergence introduced by the kernel plumbing (tile indexing, VMEM
+    block shapes, const broadcasting) fails this test on CPU."""
+    res_xla = _run("pl_xla", steps=1, iters=6, B=4, gondzio=2)
+    res_int = _run("pl", steps=1, iters=6, B=4, gondzio=2,
+                   backend_opts={"interpret": True, "tile_b": 2})
+    du = np.abs(np.asarray(res_xla[0].uPred) - np.asarray(res_int[0].uPred)).max()
+    dx = np.abs(np.asarray(res_xla[0].xPred) - np.asarray(res_int[0].xPred)).max()
+    dp = np.abs(np.asarray(res_xla[0].prim_res)
+                - np.asarray(res_int[0].prim_res)).max()
+    assert du < 1e-10, f"kernel-body u mismatch {du}"
+    assert dx < 1e-10, f"kernel-body x mismatch {dx}"
+    assert dp < 1e-10, f"kernel-body prim_res mismatch {dp}"
 
 
 def test_fused_gondzio_matches_vmapped():
