@@ -89,11 +89,19 @@ def make_branch_mpc_step(
     feas_tol: float = 1e-3,
     solver: str = "ipm",
     ipm: QPIPMConfig = QPIPMConfig(),
+    prep_dtype=None,
 ):
     """Build (topo, init_carry_fn, step_fn) for one controller configuration.
 
     ``solver``: "ipm" (default — structured Mehrotra IPM, ~35 iterations at
-    machine precision) or "admm" (OSQP-equivalent numerics)."""
+    machine precision) or "admm" (OSQP-equivalent numerics).
+
+    ``prep_dtype``: optional wider dtype (``jnp.float64``) for the tree build +
+    cost assembly only; the QP data is cast back to the input dtype for the
+    solver. On TPU this removes the f32 coefficient-rounding floor of the
+    rollout/linearization chain (PARITY.md) at negligible cost — prep is a
+    vanishing share of the step — while the solver stays in fast f32.
+    Requires ``jax.config.update("jax_enable_x64", True)``."""
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
     plan = build_stage_plan(topo)
     Fx, bx = params.Fx, params.bx
@@ -123,11 +131,17 @@ def make_branch_mpc_step(
         init_mask = carry.initialized
         u_lin = jnp.where(init_mask, carry.u_lin[src_idx],
                           jnp.zeros_like(carry.u_lin))
-        ts = build_tree(model, topo, x, z, u_lin, policy_params)
+        pd = jnp.dtype(prep_dtype) if prep_dtype is not None else x.dtype
+        ts = build_tree(model, topo, x.astype(pd), z.astype(pd),
+                        u_lin.astype(pd), _cast_pytree(policy_params, pd))
         cost = assemble_stage_cost(
-            topo, ts, Q, R, Qf, dR, Qslack, xRef, carry.old_input,
+            topo, ts, Q, R, Qf, dR, Qslack, xRef.astype(pd),
+            carry.old_input.astype(pd),
             variant=variant, replicate_quirks=replicate_quirks,
         )
+        if pd != x.dtype:
+            ts = _cast_pytree(ts, x.dtype)
+            cost = _cast_pytree(cost, x.dtype)
         if solver == "ipm":
             x_nodes, u, s, info = qp_ipm_solve(
                 plan, cost, ts, Fx, bx, Fu, bu, x, carry.old_input, ipm,
@@ -168,6 +182,7 @@ def make_branch_mpc_batched_step(
     ipm: QPIPMConfig = QPIPMConfig(),
     backend: str = "bl",
     backend_opts: Optional[dict] = None,
+    prep_dtype=None,
 ):
     """Batch-last variant of ``make_branch_mpc_step`` (IPM backend only).
 
@@ -223,15 +238,21 @@ def make_branch_mpc_batched_step(
 
     def prep(carry: MPCCarry, x, z, xRef, policy_params):
         x = jnp.asarray(x)
-        policy_params = _cast_pytree(policy_params, x.dtype)
+        pd = jnp.dtype(prep_dtype) if prep_dtype is not None else x.dtype
+        policy_params = _cast_pytree(policy_params, pd)
         src_idx = warm_shift_indices(topo, carry.p)
         u_lin = jnp.where(carry.initialized, carry.u_lin[src_idx],
                           jnp.zeros_like(carry.u_lin))
-        ts = build_tree(model, topo, x, jnp.asarray(z), u_lin, policy_params)
+        ts = build_tree(model, topo, x.astype(pd), jnp.asarray(z).astype(pd),
+                        u_lin.astype(pd), policy_params)
         cost = assemble_stage_cost(
-            topo, ts, Q, R, Qf, dR, Qslack, jnp.asarray(xRef), carry.old_input,
+            topo, ts, Q, R, Qf, dR, Qslack, jnp.asarray(xRef).astype(pd),
+            carry.old_input.astype(pd),
             variant=variant, replicate_quirks=replicate_quirks,
         )
+        if pd != x.dtype:
+            ts = _cast_pytree(ts, x.dtype)
+            cost = _cast_pytree(cost, x.dtype)
         return ts, cost
 
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
@@ -288,6 +309,7 @@ class BranchMPC:
         dtype=jnp.float64,
         solver: str = "ipm",
         ipm: QPIPMConfig = QPIPMConfig(),
+        prep_dtype=None,
     ):
         self.params = mpcParameters
         self.model = predictiveModel
@@ -295,7 +317,7 @@ class BranchMPC:
         self.dtype = dtype
         self.topo, self._init_carry, step = make_branch_mpc_step(
             predictiveModel, mpcParameters, self.variant, admm, replicate_quirks,
-            solver=solver, ipm=ipm,
+            solver=solver, ipm=ipm, prep_dtype=prep_dtype,
         )
         self._step = jax.jit(step)
         self.carry = self._init_carry(dtype)

@@ -45,6 +45,7 @@ def make_cvar_mpc_step(
     ipm: CVaRIPMConfig = CVaRIPMConfig(iters=80),
     replicate_quirks: bool = True,
     use_S: bool = False,
+    prep_dtype=None,
 ):
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
     cplan = build_cvar_plan(topo, replicate_quirks=replicate_quirks)
@@ -63,11 +64,15 @@ def make_cvar_mpc_step(
         x = jnp.asarray(x)
         z = jnp.asarray(z)
         xRef = jnp.asarray(xRef)
-        policy_params = _cast_pytree(policy_params, x.dtype)
+        pd = jnp.dtype(prep_dtype) if prep_dtype is not None else x.dtype
+        policy_params = _cast_pytree(policy_params, pd)
         bx_used = jnp.asarray(params.bx, x.dtype) if bx is None else jnp.asarray(bx, x.dtype)
         shifted = shift_warm_start(topo, carry.u_lin, carry.p)
         u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
-        ts = build_tree(model, topo, x, z, u_lin, policy_params)
+        ts = build_tree(model, topo, x.astype(pd), z.astype(pd),
+                        u_lin.astype(pd), policy_params)
+        if pd != x.dtype:
+            ts = _cast_pytree(ts, x.dtype)
         x_f, u_f, s_f, r_f, aux = cvar_ipm_solve(
             cplan, ts, Q, R, Qslack, xRef, ralpha,
             Fx, bx_used, Fu, bu, x,
@@ -98,6 +103,7 @@ def make_cvar_mpc_batched_step(
     use_pallas: bool = True,
     tile_b: int = 128,
     use_S: bool = False,
+    prep_dtype=None,
 ):
     """Batch-last fused-kernel variant of ``make_cvar_mpc_step``. The returned
     ``step(carrys, xs, zs, xRefs, policy_params[, S, bx])`` takes
@@ -123,9 +129,14 @@ def make_cvar_mpc_batched_step(
 
     def prep(carry: MPCCarry, x, z, policy_params):
         x = jnp.asarray(x)
+        pd = jnp.dtype(prep_dtype) if prep_dtype is not None else x.dtype
         shifted = shift_warm_start(topo, carry.u_lin, carry.p)
         u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
-        return build_tree(model, topo, x, jnp.asarray(z), u_lin, policy_params)
+        ts = build_tree(model, topo, x.astype(pd), jnp.asarray(z).astype(pd),
+                        u_lin.astype(pd), _cast_pytree(policy_params, pd))
+        if pd != x.dtype:
+            ts = _cast_pytree(ts, x.dtype)
+        return ts
 
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params, S=None, bx=None):
         dt_ = jnp.asarray(xs).dtype
@@ -175,6 +186,7 @@ class BranchMPCCVaR:
         replicate_quirks: bool = True,
         use_S: bool = False,
         dtype=jnp.float64,
+        prep_dtype=None,
     ):
         self.params = mpcParameters
         self.model = predictiveModel
@@ -183,7 +195,8 @@ class BranchMPCCVaR:
         self.use_S = use_S
         self.dtype = dtype
         self.topo, self.cplan, self._init_carry, step = make_cvar_mpc_step(
-            predictiveModel, mpcParameters, ralpha, ipm, replicate_quirks, use_S
+            predictiveModel, mpcParameters, ralpha, ipm, replicate_quirks, use_S,
+            prep_dtype=prep_dtype,
         )
         self._step = jax.jit(step)
         self.carry = self._init_carry(dtype)

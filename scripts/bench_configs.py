@@ -1,0 +1,186 @@
+"""On-chip bench for the non-overtake reference configs of BASELINE.json.
+
+Emits one JSON line per config (same shape as bench.py):
+
+- ``merge``:     N=40, NB=1 nested-CVaR with the ramp shear transform S and
+                 runtime bx override (reference ``main_branch.py:56-88``) —
+                 fused Pallas CVaR IPM, batch-last.
+- ``quadruped``: N=25, NB=2 prox-QP with dR rate coupling, d=3
+                 (reference ``main_quadruped.py:14-31``) — fused Pallas
+                 IPM, batch-last.
+
+Run: ``python scripts/bench_configs.py [merge|quadruped|all]``.
+Env: BENCH_BATCH / BENCH_ITERS / BENCH_TILE_B / BENCH_BACKEND overrides as in
+bench.py (backend "pl" fused kernel by default, "pl_xla" for the XLA twin).
+Timing uses a device→host fetch (np.asarray) — through the tunneled runtime,
+block_until_ready can return before execution finishes.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+BASELINE_PER_CHIP = 10000.0 / 16.0
+
+
+def _timed(vstep, carrys, args, iters):
+    carrys, res = vstep(carrys, *args)
+    _ = np.asarray(res.uPred)
+    times = []
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        carrys, res = vstep(carrys, *args)
+        _ = np.asarray(res.uPred)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), res
+
+
+def bench_merge():
+    import jax
+    import jax.numpy as jnp
+
+    from belief_planning_tpu.controllers.cvar_mpc import make_cvar_mpc_batched_step
+    from belief_planning_tpu.envs.merge import merge_ref_lines
+    from belief_planning_tpu.models.policies import merge_policy_set
+    from belief_planning_tpu.models.predictive import merge_model
+    from belief_planning_tpu.presets import init_branch_mpc
+    from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig
+    from belief_planning_tpu.utils.config import BranchConstants
+
+    N, NB = 40, 1
+    am, rm, dt = 7.0, 0.3, 0.1
+    N_lane, merge_lane, merge_s, merge_R, merge_side = 2, 1, 50, 300, 0
+    v0 = 20.0
+    cons = BranchConstants(am=am, rm=rm)
+    refY, refpsi = merge_ref_lines(N_lane, merge_lane, merge_s, merge_R, merge_side)
+    pset = merge_policy_set(cons, v0, None)
+    model = merge_model(cons, pset, N=N, dt=dt)
+    xRef0 = np.array([0.5, 1.8, 15.0, 0.0])
+    params = init_branch_mpc(4, 2, N, NB, xRef0, am, rm, N_lane, cons.W)
+
+    ipm = CVaRIPMConfig(iters=int(os.environ.get("BENCH_CVAR_ITERS", "24")),
+                        gondzio=int(os.environ.get("BENCH_GONDZIO", "2")))
+    backend = os.environ.get("BENCH_BACKEND", "pl")
+    topo, cplan, init_carry, step = make_cvar_mpc_batched_step(
+        model, params, ralpha=0.1, ipm=ipm, use_pallas=(backend == "pl"),
+        tile_b=int(os.environ.get("BENCH_TILE_B", "128")), use_S=True)
+    vstep = jax.jit(step)
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    # lanes spread along the ramp: each gets its own shear S(psi0) + bx, the
+    # geometry the env computes per step (envs/merge.py:154-171)
+    x0 = np.array([30.0, 13.0, v0, -0.1]) + rng.normal(0, 0.5, (B, 4))
+    x0[:, 3] = np.clip(x0[:, 3], -0.2, 0.0)
+    zs = np.array([15.0, 5.4, v0, 0.0]) + rng.normal(0, 0.5, (B, 4))
+    psi0 = np.asarray(refpsi(x0[:, 0]))
+    y0 = np.asarray(refY(x0[:, 0]))
+    S = np.tile(np.eye(4), (B, 1, 1))
+    S[:, 1, 0] = -np.tan(psi0)
+    xRefs = np.stack([np.zeros(B), -np.tan(psi0) * x0[:, 0] + y0 + 1.8,
+                      np.full(B, v0), psi0], axis=1)
+    bx = np.stack([
+        -np.tan(psi0) * x0[:, 0] + y0 + 3.6 * merge_lane - cons.W / 2,
+        np.tan(psi0) * x0[:, 0] - y0 - cons.W / 2,
+        psi0 + 0.25, -psi0 + 0.25], axis=1)
+
+    xs = jnp.asarray(x0, dtype)
+    zs = jnp.asarray(zs, dtype)
+    xRefs = jnp.asarray(xRefs, dtype)
+    S = jnp.asarray(S, dtype)
+    bx = jnp.asarray(bx, dtype)
+    c = init_carry(dtype)
+    carrys = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+
+    dt_wall, res = _timed(vstep, carrys, (xs, zs, xRefs, pset.params, S, bx),
+                          int(os.environ.get("BENCH_ITERS", "5")))
+    sps = B / dt_wall
+    print(json.dumps({
+        "metric": "merge_cvar_solves_per_sec_per_chip",
+        "config": {"N": N, "NB": NB, "ralpha": 0.1, "use_S": True, "B": B,
+                   "iters": ipm.iters, "gondzio": ipm.gondzio,
+                   "backend": backend},
+        "value": round(sps, 1), "unit": "solves/s",
+        "vs_baseline": round(sps / BASELINE_PER_CHIP, 3),
+    }), flush=True)
+
+
+def bench_quadruped():
+    import jax
+    import jax.numpy as jnp
+
+    from belief_planning_tpu.controllers.branch_mpc import (
+        make_branch_mpc_batched_step,
+    )
+    from belief_planning_tpu.models.policies import quadruped_policy_set
+    from belief_planning_tpu.models.predictive import quadruped_model
+    from belief_planning_tpu.presets import init_quad_branch_mpc
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+    from belief_planning_tpu.utils.config import QuadConstants
+
+    dt, NB = 0.2, 2
+    vxm, vym, rm, v0 = 0.2, 0.1, 0.5, 0.2
+    n, d, N = 3, 3, 25
+    cons = QuadConstants(s1=2, s2=3, c2=0.5, alpha=1, R=1.2, vxm=vxm, vym=vym,
+                         rm=rm, L1=0.5, W1=0.3, L2=1.0, W2=0.6, col_tol=0.2,
+                         col_alpha=5)
+    pset = quadruped_policy_set(v0)
+    model = quadruped_model(cons, pset, N=N, dt=dt)
+    params = init_quad_branch_mpc(n, d, N, NB, np.array([5., 5., 0.]),
+                                  vxm, vym, rm)
+
+    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "8")),
+                      gondzio=int(os.environ.get("BENCH_GONDZIO", "2")))
+    backend = os.environ.get("BENCH_BACKEND", "pl")
+    topo, init_carry, step = make_branch_mpc_batched_step(
+        model, params, "prox", ipm=ipm, backend=backend,
+        backend_opts={"tile_b": int(os.environ.get("BENCH_TILE_B", "128"))}
+        if backend == "pl" else None)
+    vstep = jax.jit(step)
+
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    xs = np.array([0.0, 1.8, 0.0]) + rng.normal(0, 0.3, (B, 3))
+    zs = np.array([2.5, 2.5, -np.pi / 2]) + rng.normal(0, 0.3, (B, 3))
+    xRefs = np.tile(np.array([5., 5., 0.]), (B, 1))
+    xs, zs, xRefs = (jnp.asarray(a, dtype) for a in (xs, zs, xRefs))
+    c = init_carry(dtype)
+    carrys = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+
+    dt_wall, res = _timed(vstep, carrys, (xs, zs, xRefs, pset.params),
+                          int(os.environ.get("BENCH_ITERS", "5")))
+    sps = B / dt_wall
+    print(json.dumps({
+        "metric": "quadruped_qp_solves_per_sec_per_chip",
+        "config": {"N": N, "NB": NB, "d": d, "B": B, "iters": ipm.iters,
+                   "gondzio": ipm.gondzio, "backend": backend},
+        "value": round(sps, 1), "unit": "solves/s",
+        "vs_baseline": round(sps / BASELINE_PER_CHIP, 3),
+    }), flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("merge", "all"):
+        bench_merge()
+    if which in ("quadruped", "all"):
+        bench_quadruped()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Reference-scale closed-loop parity gates (slow; set ``BP_RUN_SLOW=1``).
+
+The fast suite gates parity at shrunken sizes (N=4 overtake, N=5 quadruped,
+N=3 CVaR); these tests enforce the BASELINE.md 1e-3 applied-input gate at the
+*exact* problem sizes of the reference demos:
+
+- overtake: N=8, NB=2, 100 closed-loop steps (``main_branch.py:24-48``,
+  ``Highway_env_branch.py:722``) — both the prox-QP and the CVaR controller;
+- quadruped: N=25, NB=2 (``main_quadruped.py:14-28``) — the long-branch
+  Riccati conditioning case (dR rate coupling over 25 stages);
+- merge: N=40, NB=1 including the laneID-switch transition at
+  ``x > merge_s + 8`` (``main_branch.py:60-68``, ``Highway_env_branch.py:314``),
+  teacher-forced through the real merge env so the S/bx geometry overrides and
+  the ref-line tables are the ones the env actually produces.
+
+Run: ``BP_RUN_SLOW=1 python -m pytest tests/test_reference_scale.py -v``
+(tens of minutes: each step solves a dense oracle program).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from belief_planning_tpu.controllers.branch_mpc import BranchMPCProx
+from belief_planning_tpu.controllers.cvar_mpc import BranchMPCCVaR
+from belief_planning_tpu.models.policies import (
+    highway_policy_set,
+    merge_policy_set,
+    quadruped_policy_set,
+)
+from belief_planning_tpu.models.predictive import (
+    highway_model,
+    merge_model,
+    quadruped_model,
+)
+from belief_planning_tpu.oracle.reference_cvar import OracleCVaRController
+from belief_planning_tpu.oracle.reference_tree import (
+    OracleBranchController,
+    OracleModelAdapter,
+)
+from belief_planning_tpu.presets import init_branch_mpc, init_quad_branch_mpc
+from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+from belief_planning_tpu.utils.config import BranchConstants, QuadConstants
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("BP_RUN_SLOW"),
+        reason="reference-scale gates are slow; set BP_RUN_SLOW=1",
+    ),
+]
+
+
+def overtake_demo_setup(N=8, NB=2):
+    """Exact demo configuration (reference ``main_branch.py:24-48``)."""
+    am, rm, dt, N_lane = 6.0, 0.3, 0.1, 4
+    xRef = np.array([0.5, 1.8, 15.0, 0.0])
+    cons = BranchConstants(s1=2, s2=3, c2=0.5, tran_diag=0.3, alpha=1, R=1.2,
+                           am=am, rm=rm, J_c=20, s_c=1, ylb=0., yub=7.2,
+                           L=4, W=2.5, col_alpha=5, Kpsi=0.1)
+    pset = highway_policy_set(cons, xRef)
+    model = highway_model(cons, pset, N=N, dt=dt)
+    params = init_branch_mpc(4, 2, N, NB, xRef, am, rm, N_lane, cons.W)
+    return cons, pset, model, params
+
+
+def _closed_loop(oracle, mpc, cons, dt, n_steps, x0, z0, xRef):
+    """Both worlds driven by their own applied inputs (the BASELINE.md gate)."""
+
+    def f(s, u):
+        return s + np.array(
+            [s[2] * np.cos(s[3]), s[2] * np.sin(s[3]), u[0], u[1]]) * dt
+
+    def obs_u(z):
+        return np.array([0.0, -cons.Kpsi * z[3]])
+
+    x_o, z_o = x0.copy(), z0.copy()
+    x_j, z_j = x0.copy(), z0.copy()
+    errs = []
+    for t in range(n_steps):
+        u_o = oracle.solve(x_o, z_o, xRef)
+        u_j = np.asarray(mpc.solve(x_j, z_j, xRef))
+        errs.append(np.abs(u_o - u_j).max())
+        x_o, z_o = f(x_o, u_o), f(z_o, obs_u(z_o))
+        x_j, z_j = f(x_j, np.asarray(u_j)), f(z_j, obs_u(z_j))
+    return np.array(errs)
+
+
+def test_overtake_reference_scale_prox():
+    cons, pset, model, params = overtake_demo_setup()
+    adapter = OracleModelAdapter(model, pset.params)
+    oracle = OracleBranchController(params, adapter, "prox")
+    mpc = BranchMPCProx(params, model, pset.params, dtype=jnp.float64,
+                        ipm=QPIPMConfig(iters=30))
+    x0 = np.array([0.0, 1.8, 20.0, 0.0])
+    z0 = np.array([9.0, 1.8, 17.0, 0.0])
+    errs = _closed_loop(oracle, mpc, cons, model.dt, 100, x0, z0, params.xRef)
+    assert errs.max() < 1e-3, f"max closed-loop deviation {errs.max():.2e} " \
+                              f"at step {int(errs.argmax())}"
+
+
+def test_overtake_reference_scale_cvar():
+    cons, pset, model, params = overtake_demo_setup()
+    adapter = OracleModelAdapter(model, pset.params)
+    oracle = OracleCVaRController(params, adapter, ralpha=0.9)
+    mpc = BranchMPCCVaR(params, model, pset.params, ralpha=0.9,
+                        ipm=CVaRIPMConfig(iters=60), dtype=jnp.float64)
+    x0 = np.array([0.0, 1.8, 20.0, 0.0])
+    z0 = np.array([9.0, 1.8, 17.0, 0.0])
+    errs = _closed_loop(oracle, mpc, cons, model.dt, 100, x0, z0, params.xRef)
+    assert errs.max() < 1e-3, f"max closed-loop deviation {errs.max():.2e} " \
+                              f"at step {int(errs.argmax())}"
+
+
+def test_quadruped_reference_scale():
+    """N=25/NB=2 with the demo constants (``main_quadruped.py:14-31``): the
+    25-stage branches exercise long-horizon tree-Riccati conditioning with the
+    dR rate-coupling quirks that the N=5 fast gate never reaches."""
+    dt, NB = 0.2, 2
+    vxm, vym, rm, v0 = 0.2, 0.1, 0.5, 0.2
+    n, d, N = 3, 3, 25
+    cons = QuadConstants(s1=2, s2=3, c2=0.5, alpha=1, R=1.2, vxm=vxm, vym=vym,
+                         rm=rm, L1=0.5, W1=0.3, L2=1.0, W2=0.6, col_tol=0.2,
+                         col_alpha=5)
+    pset = quadruped_policy_set(v0)
+    model = quadruped_model(cons, pset, N=N, dt=dt)
+    params = init_quad_branch_mpc(n, d, N, NB, np.array([5., 5., 0.]),
+                                  vxm, vym, rm)
+    adapter = OracleModelAdapter(model, pset.params)
+    oracle = OracleBranchController(params, adapter, "prox")
+    mpc = BranchMPCProx(params, model, pset.params, dtype=jnp.float64,
+                        ipm=QPIPMConfig(iters=30))
+    x = np.array([0.0, 1.8, 0.0])
+    z = np.array([2.5, 2.5, -np.pi / 2])
+    xRef = params.xRef
+
+    def f(s, u):
+        c, sn = np.cos(s[2]), np.sin(s[2])
+        return s + np.array([u[0] * c - u[1] * sn,
+                             u[0] * sn + u[1] * c, u[2]]) * dt
+
+    x_o, z_o = x.copy(), z.copy()
+    x_j, z_j = x.copy(), z.copy()
+    errs = []
+    for t in range(40):
+        u_o = oracle.solve(x_o, z_o, xRef)
+        u_j = np.asarray(mpc.solve(x_j, z_j, xRef))
+        errs.append(np.abs(u_o - u_j).max())
+        x_o, z_o = f(x_o, u_o), f(z_o, np.array([0.2, 0.0, 0.0]))
+        x_j, z_j = f(x_j, u_j), f(z_j, np.array([0.2, 0.0, 0.0]))
+    errs = np.array(errs)
+    assert errs.max() < 1e-3, f"max closed-loop deviation {errs.max():.2e} " \
+                              f"at step {int(errs.argmax())}"
+
+
+class _DualSolveMPC:
+    """Wrapper the merge env drives: every ``solve`` runs both the JAX
+    controller and the oracle on the identical (x, z, xRef, S, bx) inputs
+    (teacher forcing — the JAX input is the one applied), recording the
+    per-step applied-input deviation."""
+
+    def __init__(self, mpc, oracle):
+        self._mpc = mpc
+        self._oracle = oracle
+        self.errs = []
+        self.psimax = mpc.psimax
+
+    def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None):
+        u_o = self._oracle.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
+        u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
+        self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
+        return u_j
+
+    def __getattr__(self, name):
+        return getattr(self._mpc, name)
+
+
+def test_merge_reference_scale_lane_switch():
+    """N=40/NB=1 merge with the demo geometry (``main_branch.py:56-88``),
+    teacher-forced through the real env across the laneID-switch boundary so
+    the ramp-frame S/bx overrides AND the post-switch road-frame solves are
+    both gated at 1e-3."""
+    from belief_planning_tpu.envs.merge import HighwayMergeEnv, merge_ref_lines
+
+    N, NB = 40, 1
+    am, rm, dt = 7.0, 0.3, 0.1
+    N_lane, merge_lane, merge_s, merge_R, merge_side = 2, 1, 50, 300, 0
+    v0 = 20.0
+    cons = BranchConstants(am=am, rm=rm)
+    refY, refpsi = merge_ref_lines(N_lane, merge_lane, merge_s, merge_R,
+                                   merge_side)
+    pset_normal = merge_policy_set(cons, v0, None)
+    pset_merge = merge_policy_set(cons, v0, refpsi)
+    model_normal = merge_model(cons, pset_normal, N=N, dt=dt)
+    model_merge = merge_model(cons, pset_merge, N=N, dt=dt)
+    xRef = np.array([0.5, 1.8, 15.0, 0.0])
+    params = init_branch_mpc(4, 2, N, NB, xRef, am, rm, N_lane, cons.W)
+
+    adapter = OracleModelAdapter(model_normal, pset_normal.params)
+    oracle = OracleCVaRController(params, adapter, ralpha=0.1)
+    mpc = BranchMPCCVaR(params, model_normal, pset_normal.params, ralpha=0.1,
+                        use_S=True, ipm=CVaRIPMConfig(iters=150),
+                        dtype=jnp.float64)
+    dual = _DualSolveMPC(mpc, oracle)
+    env = HighwayMergeEnv(
+        NV=2, N_lane=N_lane, mpc=dual, models=[model_normal, model_merge],
+        policy_param_sets=[pset_normal.params, pset_merge.params],
+        merge_lane=merge_lane, merge_s=merge_s, merge_R=merge_R,
+        merge_side=merge_side, dt=dt, cons=cons, seed=0,
+    )
+    lane_ids = []
+    for t in range(30):
+        env.step(t)
+        lane_ids.append(env.laneID[0])
+    errs = np.array(dual.errs)
+    assert lane_ids[0] == 1 and lane_ids[-1] == 0, \
+        f"episode never crossed the laneID switch: {lane_ids}"
+    assert errs.max() < 1e-3, f"max per-step deviation {errs.max():.2e} " \
+                              f"at step {int(errs.argmax())}"
