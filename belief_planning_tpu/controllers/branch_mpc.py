@@ -183,8 +183,23 @@ def make_branch_mpc_batched_step(
     backend: str = "bl",
     backend_opts: Optional[dict] = None,
     prep_dtype=None,
+    refine_f64: int = 0,
+    refine_cfg: Optional[QPIPMConfig] = None,
 ):
     """Batch-last variant of ``make_branch_mpc_step`` (IPM backend only).
+
+    ``refine_f64``: number of f64 restart iterations run after the (f32)
+    fused solve — the parity-grade on-chip mode. The f32 Mehrotra iteration
+    hits a precision wall at gap ~1e-2 (barrier weights reach the f32 clamp,
+    κ·eps ≈ 0.1, directions turn to noise; measured 2026-08-20) leaving
+    ~1e-2-scale error on active bounds; the refine phase re-enters the
+    barrier method in f64 (TPU: XLA-emulated, ``pl_xla`` layout) warm-started
+    from the f32 primal (x, u, s — fresh small-μ duals per the warm-start
+    findings: carried duals block on the shifted active set) on f64-built QP
+    data, and converges past the wall. Implies ``prep_dtype=float64``.
+    ``refine_cfg`` overrides the restart phase config (default: the tuned
+    cold-start settings with ``iters=refine_f64``; 10 warm iterations reach
+    8e-5 on the demo overtake where cold f64 needs 12 for equivalent error).
 
     ``backend`` selects the solver layout: ``"bl"`` = scan-based batch-last
     IPM (``tree_qp_bl``), ``"pl_xla"`` = level-blocked fused iteration as
@@ -236,6 +251,17 @@ def make_branch_mpc_batched_step(
             y3=jnp.zeros((topo.totalu, Nc), dtype),
         )
 
+    if refine_f64 > 0 and prep_dtype is None:
+        prep_dtype = jnp.float64
+    # the restart keeps the TUNED default start (μ0=10, sl_min=0.1): a
+    # "gentler" small-μ0 start (1e-3) was measured to diverge monotonically —
+    # fresh duals far below their true scale force a gap climb and the
+    # best-iterate tracker then returns the unrefined warm start. With the
+    # default start, warm-primal f64 needs ~10 iterations to 8e-5 (cold
+    # needs 12; measured 2026-08-21 on the demo overtake).
+    rcfg = refine_cfg if refine_cfg is not None else QPIPMConfig(
+        iters=refine_f64)
+
     def prep(carry: MPCCarry, x, z, xRef, policy_params):
         x = jnp.asarray(x)
         pd = jnp.dtype(prep_dtype) if prep_dtype is not None else x.dtype
@@ -250,15 +276,15 @@ def make_branch_mpc_batched_step(
             carry.old_input.astype(pd),
             variant=variant, replicate_quirks=replicate_quirks,
         )
-        if pd != x.dtype:
-            ts = _cast_pytree(ts, x.dtype)
-            cost = _cast_pytree(cost, x.dtype)
         return ts, cost
 
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
-        ts_b, cost_b = jax.vmap(prep, in_axes=(0, 0, 0, 0, None))(
+        dt_in = jnp.asarray(xs).dtype
+        ts_p, cost_p = jax.vmap(prep, in_axes=(0, 0, 0, 0, None))(
             carrys, xs, zs, xRefs, policy_params
         )
+        ts_b = _cast_pytree(ts_p, dt_in)
+        cost_b = _cast_pytree(cost_p, dt_in)
         x_nodes_bl, u_bl, s_bl, info = solve_bl(
             plan, cost_to_bl(cost_b),
             _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.C),
@@ -267,6 +293,26 @@ def make_branch_mpc_batched_step(
             _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
             ipm,
         )
+        if refine_f64 > 0:
+            from belief_planning_tpu.solvers.tree_qp_pl import qp_ipm_solve_pl
+
+            f64 = jnp.float64
+            ts64 = _cast_pytree(ts_p, f64)
+            cost64 = _cast_pytree(cost_p, f64)
+            x_nodes_bl, u_bl, s_bl, info2 = qp_ipm_solve_pl(
+                plan, cost_to_bl(cost64),
+                _to_bl(ts64.A), _to_bl(ts64.Bm), _to_bl(ts64.C),
+                _to_bl(ts64.dh), _to_bl(ts64.h0),
+                Fx, bx, Fu, bu,
+                x_nodes_bl.astype(f64), u_bl.astype(f64),
+                rcfg, use_pallas=False,
+                s_warm_bl=s_bl.astype(f64),
+            )
+            x_nodes_bl = x_nodes_bl.astype(dt_in)
+            u_bl = u_bl.astype(dt_in)
+            s_bl = s_bl.astype(dt_in)
+            info = {**info, "prim_res": info2["prim_res"].astype(dt_in),
+                    "gap": info2["gap"].astype(dt_in)}
         x_nodes = _from_bl(x_nodes_bl)
         u = _from_bl(u_bl)
         s = _from_bl(s_bl)

@@ -120,6 +120,13 @@ class CVaRIPMConfig:
     # at its own floor (gap~2e-5, it~36 — benign). The elementwise outer ops
     # are O(totalu·Nc) — negligible even emulated.
     outer_dtype: str = "same"
+    # Route the K-cone mask/risk-map contractions ((K, totalu)@(totalu, T),
+    # (totalu, K)@(K, T), selector maps) through 2-D ``jnp.dot`` — the MXU —
+    # instead of broadcast-multiply-reduce on the VPU (fused kernel path,
+    # ``cvar_pl`` only; the f32-precision context of the solver makes these
+    # full-f32 3-pass MXU matmuls). Also avoids materializing the (K, totalu,
+    # R, T) broadcast temporaries of the multi-RHS sweep in VMEM.
+    mxu: bool = False
     # Slack floor of the starting point (see solvers/tree_qp_ipm.py — the same
     # near-feasible-start finding): sl = max(b - rows, sl_min) keeps the
     # (typically strictly feasible) rolled-out primal nearly feasible instead

@@ -60,6 +60,7 @@ from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig
 from belief_planning_tpu.solvers.tree_qp import _f32_precision
 from belief_planning_tpu.solvers.tree_qp_pl import (
     _addvec,
+    _eye2,
     _factor_blocks,
     _fold0,
     _repeat0,
@@ -121,7 +122,9 @@ def _gj_solve_pivot_bl(A, B):
                         jnp.ones((1, a - k, T), dtype)])
         eligible = col * rowmask
         mx = jnp.max(eligible, axis=1, keepdims=True)      # (nb, 1, T)
-        eq = jnp.where(eligible >= mx, 1.0, 0.0) * rowmask
+        # bool→dtype cast (a weak-float where(cond, 1.0, 0.0) promotes to f64
+        # under x64; Mosaic has no f64 vectors)
+        eq = (eligible >= mx).astype(dtype) * rowmask
         # first-match one-hot down the row axis
         taken = jnp.zeros((nb, 1, T), dtype)
         fo_rows = []
@@ -279,9 +282,18 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             """2D shared const -> (.., T)-tiled copy (in-VMEM broadcast)."""
             return jnp.broadcast_to(C[:, :, None], C.shape + (T,))
 
-        mask_t, maskT_t = t3(mask), t3(maskT)
-        frisk_t, friskT_t = t3(frisk), t3(friskT)
-        Ssgn_t, SsgnT_t = t3(Ssgn), t3(SsgnT)
+        MXU = bool(getattr(cfg, "mxu", False))
+
+        def kdot(M2, v):
+            """2-D shared const (a, b) @ lanes (b, T) → (a, T) on the MXU.
+            The solver's f32-precision context makes this a full-f32 matmul
+            (3-pass bf16); Mosaic supports 2-D jnp.dot natively."""
+            return jnp.dot(M2, v, preferred_element_type=dtype)
+
+        maskT_t, friskT_t = t3(maskT), t3(friskT)
+        if not MXU:
+            mask_t, frisk_t = t3(mask), t3(frisk)
+            Ssgn_t, SsgnT_t = t3(Ssgn), t3(SsgnT)
 
         # ---- row/lane helpers (same conventions as tree_qp_pl) ------------
         def row_mul(xv):
@@ -322,10 +334,14 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
 
         def sgn_sel(v):
             """v[sgn_idx]: (nrisk, T) → (nsgn, T) via the 0/1 selector."""
+            if MXU:
+                return kdot(Ssgn, v)
             return jnp.sum(Ssgn_t * v[None, :, :], axis=1)
 
         def sgn_scatter(v):
             """zeros(nrisk).at[sgn_idx].add(v): (nsgn, T) → (nrisk, T)."""
+            if MXU:
+                return kdot(SsgnT, v)
             return jnp.sum(SsgnT_t * v[None, :, :], axis=1)
 
         def first_row_vec(val_row0, rest_rows, width):
@@ -350,6 +366,8 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         # (xᵀQx = ½ x·(2Qx) = ½ x·(gx_stage − cx); then + x·cx + cconst)
 
         def cone_vals(stage_cost_, r_):
+            if MXU:
+                return (kdot(mask, stage_cost_) + kdot(frisk, r_)) * csc_inv
             q = jnp.sum(mask_t * stage_cost_[None, :, :], axis=1)
             q = q * csc_inv
             q = q + jnp.sum(frisk_t * r_[None, :, :], axis=1) * csc_inv
@@ -361,6 +379,8 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
                 ds = (jnp.sum(gx_stage * xx_c, axis=1)
                       + jnp.sum(gu_stage * uu, axis=1)
                       + Qslack1 * sum1(ss))                    # (totalu, T)
+                if MXU:
+                    return (kdot(mask, ds) + kdot(frisk, rr)) * csc_inv
                 out = jnp.sum(mask_t * ds[None, :, :], axis=1)
                 out = out * csc_inv
                 out = out + jnp.sum(
@@ -369,6 +389,16 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             ds = (jnp.sum(gx_stage[:, :, None, :] * xx_c, axis=1)
                   + jnp.sum(gu_stage[:, :, None, :] * uu, axis=1)
                   + Qslack1 * sum1(ss))                        # (totalu, R, T)
+            if MXU:
+                # unrolled R small dots — avoids the (K, totalu, R, T) VMEM
+                # broadcast temporary entirely
+                R_ = ds.shape[1]
+                outs = []
+                for r_i in range(R_):
+                    o = (kdot(mask, ds[:, r_i, :])
+                         + kdot(frisk, rr[:, r_i, :])) * csc_inv
+                    outs.append(o[:, None, :])
+                return jnp.concatenate(outs, axis=1)           # (K, R, T)
             out = jnp.sum(mask_t[:, :, None, :] * ds[None], axis=1)
             out = out * csc_inv[:, None, :]
             out = out + jnp.sum(
@@ -392,7 +422,8 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         # ---- barrier-weighted factorization --------------------------------
         clampw = lambda w: jnp.minimum(w, w_max_eff)
         lq_eff = lq * csc_inv                                  # (K, T)
-        lqs = jnp.sum(maskT_t * lq_eff[None, :, :], axis=1)   # (totalu, T)
+        lqs = (kdot(maskT, lq_eff) if MXU
+               else jnp.sum(maskT_t * lq_eff[None, :, :], axis=1))  # (totalu, T)
         root_col = jnp.concatenate(
             [jnp.ones((1, T), dtype), jnp.zeros((totalu - 1, T), dtype)], axis=0)
         lam_stage = lqs + root_col
@@ -403,7 +434,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         wq = clampw(lq / sq)
         kap = w1 + w3 + cfg.reg
         coefs = w1 - w1 * w1 / kap
-        eye_n = jnp.eye(n, dtype=dtype)[None, :, :, None]
+        eye_n = _eye2(n, dtype)[None, :, :, None]
         Qx2 = 2.0 * lqs[:, None, None, :] * QxC[None, :, :, :]
         Qx2 = Qx2 + cfg.reg * eye_n
         Qx2 = Qx2 + (coefs[:, 0:1][:, :, None, :]
@@ -413,7 +444,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             axis=1)
         FuFu = Fu[:, :, None] * Fu[:, None, :]
         Ru2 = 2.0 * lam_stage[:, None, None, :] * Rm[None, :, :, None]
-        Ru2 = Ru2 + cfg.reg * jnp.eye(d, dtype=dtype)[None, :, :, None]
+        Ru2 = Ru2 + cfg.reg * _eye2(d, dtype)[None, :, :, None]
         Ru2 = Ru2 + jnp.sum(
             w2[:, :, None, None, :] * FuFu[None, :, :, :, None], axis=1)
         Pterm2 = jnp.broadcast_to(
@@ -443,7 +474,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             [hd[mu_m0 + i * m:mu_m0 + (i + 1) * m] for i in range(bdim)],
             axis=0)
         eps = cfg.reg
-        eye_m = jnp.eye(m, dtype=dtype)[None, :, :, None]
+        eye_m = _eye2(m, dtype)[None, :, :, None]
         row_rho = jnp.concatenate(
             [(h_rho[:, None, :])[:, :, None, :],
              jnp.full((bdim, 1, 1, T), -eps, dtype),
@@ -522,13 +553,17 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             qs = rd_s - ex1 - ex3
             qr = rd_r - sgn_scatter(ex4)
             # fold the eliminated cone duals into the rhs: + Σ exq_k g_k
-            eg = jnp.sum(maskT_t * (exq * csc_inv)[None, :, :],
-                         axis=1)                               # (totalu, T)
+            exqc = exq * csc_inv
+            if MXU:
+                eg = kdot(maskT, exqc)                         # (totalu, T)
+                qr_add = kdot(friskT, exqc)
+            else:
+                eg = jnp.sum(maskT_t * exqc[None, :, :], axis=1)
+                qr_add = jnp.sum(friskT_t * exqc[None, :, :], axis=1)
             qx = qx + eg[:, None, :] * gx_stage
             qu = qu + eg[:, None, :] * gu_stage
             qs = qs + Qslack1 * eg[:, None, :]
-            qr = qr + jnp.sum(
-                friskT_t * (exq * csc_inv)[None, :, :], axis=1)
+            qr = qr + qr_add
             return (qx, qu, qs, qr), (ex1, ex2, ex3, ex4, exq)
 
         rhs_a, _ = direction_rhs(sl1 * lam1, sl2 * lam2, sl3 * lam3,
@@ -556,7 +591,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         # Equilibrate by W^½: M' = I − Dw GᵀZ Dw is symmetric positive definite
         # with diagonal ≥ 1 → unpivoted GJ is stable; M⁻¹v = Dw⁻¹ M'⁻¹ Dw v.
         sw = jnp.sqrt(wq)                                      # (K, T)
-        Wm_n = (jnp.eye(K, dtype=dtype)[:, :, None]
+        Wm_n = (_eye2(K, dtype)[:, :, None]
                 - GtZ * sw[:, None, :] * sw[None, :, :])
         Wm_n_inv = _gj_inv_bl(Wm_n)
 
@@ -602,7 +637,8 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         da = dual_steps(*rhs_pred, finish_direction(*da_core))
 
         def max_step(v, dv):
-            ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+            ratio = jnp.where(dv < 0, -v / dv,
+                              jnp.asarray(jnp.inf, dtype))
             return jnp.minimum(1.0, min_lane(ratio))
 
         def all_step(dirs):
@@ -629,7 +665,8 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             + sum_lane((sl4 + a_aff * dsl4a) * (lam4 + a_aff * dlam4a))
             + sum_lane((sq + a_aff * dsqa) * (lq + a_aff * dlqa))
         ) / mtot
-        sigma_c = jnp.clip((gap_aff / (gap + 1e-30)) ** 3, 0.0, 1.0)
+        sigma_c = jnp.clip((gap_aff / (gap + 1e-30)) ** 3,
+                           jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
 
         rhs_corr = (
             sl1 * lam1 + dsl1a * dlam1a - sigma_c * gap,
@@ -662,12 +699,17 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             qu = fu_mulT(ex2)
             qs = -ex1 - ex3
             qr = -sgn_scatter(ex4)
-            eg = jnp.sum(maskT_t * (exq * csc_inv)[None, :, :], axis=1)
+            exqc = exq * csc_inv
+            if MXU:
+                eg = kdot(maskT, exqc)
+                qr_add = kdot(friskT, exqc)
+            else:
+                eg = jnp.sum(maskT_t * exqc[None, :, :], axis=1)
+                qr_add = jnp.sum(friskT_t * exqc[None, :, :], axis=1)
             qx = qx + eg[:, None, :] * gx_stage
             qu = qu + eg[:, None, :] * gu_stage
             qs = qs + Qslack1 * eg[:, None, :]
-            qr = qr + jnp.sum(
-                friskT_t * (exq * csc_inv)[None, :, :], axis=1)
+            qr = qr + qr_add
             px, pu, ps, pr = h0_apply(
                 qx[:, :, None, :], qu[:, :, None, :],
                 qs[:, :, None, :], qr[:, None, :])
@@ -721,7 +763,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
             a_new = all_step(cand)
             cand_ok = jnp.ones((1, T), dtype) > 0.5
             for cc_ in cand:
-                fin = jnp.min(jnp.where(jnp.isfinite(cc_), 1.0, 0.0),
+                fin = jnp.min(jnp.isfinite(cc_).astype(dtype),
                               axis=tuple(range(cc_.ndim - 1)), keepdims=True)
                 cand_ok = jnp.logical_and(cand_ok, fin.reshape(1, T) > 0.5)
             accept = jnp.logical_and(a_new > a_cur, cand_ok)   # (1, T)
@@ -738,7 +780,7 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
         obj_now = (0.5 * sum_lane(u_c[0:1] * obj_gu[0:1])
                    + r_c[0:1, :] + Qslack1 * sum_lane(s_c[0:1]))
         scale = 1.0 + jnp.abs(obj_now)
-        a0 = jnp.where(gap < cfg.gap_tol * scale, 0.0, a0)
+        a0 = jnp.where(gap < cfg.gap_tol * scale, jnp.asarray(0.0, dtype), a0)
         a0 = jnp.where(itv < cfg.early_iters,
                        jnp.minimum(a0, cfg.a_cap_early), a0)
         (dx, du, dsv, dr, dsl1, dsl2, dsl3, dsl4, dsq,
@@ -759,10 +801,10 @@ def make_cvar_iteration(cplan: CVaRPlan, cfg: CVaRIPMConfig, dims: dict):
 
         finite = jnp.isfinite(a)
         for dd in dc:
-            fin = jnp.min(jnp.where(jnp.isfinite(dd), 1.0, 0.0),
+            fin = jnp.min(jnp.isfinite(dd).astype(a.dtype),
                           axis=tuple(range(dd.ndim - 1)), keepdims=True)
             finite = jnp.logical_and(finite, fin.reshape(1, T) > 0.5)
-        a = jnp.where(finite, a, 0.0)
+        a = jnp.where(finite, a, jnp.asarray(0.0, dtype))
 
         def stepped(v, dv):
             if v.ndim == 3:
@@ -1039,22 +1081,22 @@ def _make_pallas_cvar_iteration(cplan, cfg, dims, totalx, totalu, dtype,
         in_specs = []
         for name in CV_CONST_ORDER:
             base = tiled_const[name]
-            idx = (lambda nd_: (lambda i: (0,) * nd_ + (i,)))(len(base))
+            idx = (lambda nd_: (lambda i: (np.int32(0),) * nd_ + (i,)))(len(base))
             in_specs.append(pl.BlockSpec(base + (tb,), idx,
                                          memory_space=pltpu.VMEM))
         for _name, shp in shared_shapes:
             in_specs.append(pl.BlockSpec(
-                shp, (lambda nd_: (lambda i: (0,) * nd_))(len(shp)),
+                shp, (lambda nd_: (lambda i: (np.int32(0),) * nd_))(len(shp)),
                 memory_space=pltpu.VMEM))
         out_specs, out_shapes = [], []
         for shp in carry_shapes:
-            idx = (lambda nd_: (lambda i: (0,) * nd_ + (i,)))(len(shp))
+            idx = (lambda nd_: (lambda i: (np.int32(0),) * nd_ + (i,)))(len(shp))
             in_specs.append(pl.BlockSpec(shp + (tb,), idx,
                                          memory_space=pltpu.VMEM))
             out_specs.append(pl.BlockSpec(shp + (tb,), idx,
                                           memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(shp + (Z,), dtype))
-        out_specs.append(pl.BlockSpec((1, tb), lambda i: (0, i),
+        out_specs.append(pl.BlockSpec((1, tb), lambda i: (np.int32(0), i),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct((1, Z), dtype))
         try:

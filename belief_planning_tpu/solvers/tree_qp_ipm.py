@@ -63,6 +63,21 @@ class QPIPMConfig:
     # [bmin·σμ, bmax·σμ]. Same scheme (and measured motivation) as
     # ``CVaRIPMConfig.gondzio`` — see cvar_ipm.py.
     gondzio: int = 0
+    # f32 accuracy wall (measured 2026-08-20, cold demo overtake): the f32
+    # Mehrotra iteration destabilizes once the duality gap reaches ~1e-2 —
+    # the barrier weights hit the f32 clamp (1e6, κ·eps ≈ 0.12), directions
+    # turn to noise, the gap explodes (f64 recovers to 1e-8 via the same
+    # trajectory), and the tracked best iterate keeps ~1e-2-scale error on
+    # ACTIVE bounds, independent of iteration count. An active-set polish
+    # (augmented-Lagrangian Newton passes at fixed moderate weight, with
+    # drop/add working-set iteration) was built and measured: the working set
+    # oscillates from the poorly-resolved gap-1e-2 start and f32 noise
+    # accumulates through the passes — strictly worse than no polish (f64
+    # from a *converged* start with exact actives still leaves weakly-active
+    # rows 1e-2 violated after 4 passes). Rejected; the supported mitigation
+    # is the f64 restart phase (``make_branch_mpc_batched_step(refine_f64=k)``)
+    # which re-enters the barrier method in TPU-emulated f64 where there is
+    # no wall.
     gondzio_bmin: float = 0.1
     gondzio_bmax: float = 10.0
 

@@ -300,6 +300,76 @@ def _forward_blocks(levels, K_l, Hinv_l, Acl_l, B_st, kff_l, n, d, m, dtype, T):
     return jnp.concatenate(dx_parts, axis=0), jnp.concatenate(du_parts, axis=0)
 
 
+def _eye2(nn, dtype):
+    """Identity built from typed zeros/ones via concat. ``jnp.eye`` lowers
+    through an integer iota, which becomes i64 under x64 — Mosaic rejects
+    64-bit vectors, and kernels must stay x64-clean (the f64-prep / f64-refine
+    modes enable x64 in the process)."""
+    rows = []
+    for i in range(nn):
+        parts = [p for p in (jnp.zeros((1, i), dtype), jnp.ones((1, 1), dtype),
+                             jnp.zeros((1, nn - i - 1), dtype)) if p.shape[1]]
+        rows.append(jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _rate_edge_terms(levels, Dab2, u_c, m):
+    """Rate-coupling gradient contributions of the tree edges: edge
+    (pred(j) → j) adds ``Dab2_jᵀ u_pred`` to grad_j and ``Dab2_j u_j`` to
+    grad_pred. All edges are static in the level-blocked layout (within-branch
+    = shift by one step; cross-level = parent-last ↔ child-first); accumulated
+    per level block and assembled by one concatenation (no scatters).
+    Returns (totalu, d, T)."""
+
+    def bmtv(Mb, vb):
+        # blockwise Mᵀ v: (nb, l, k, i, T), (nb, l, k, T) → (nb, l, i, T)
+        return jnp.sum(Mb * vb[:, :, :, None, :], axis=2)
+
+    def bmv(Mb, vb):
+        # blockwise M v: (nb, l, i, k, T), (nb, l, k, T) → (nb, l, i, T)
+        return jnp.sum(Mb * vb[:, :, None, :, :], axis=3)
+
+    d = Dab2.shape[1]
+    edge_blocks = []
+    for k in range(len(levels)):
+        mt = levels[k]
+        Dab_b = _ublk(Dab2, mt)                       # (nb, l, d, d, T)
+        u_b = _ublk(u_c, mt)                          # (nb, l, d, T)
+        zslot = jnp.zeros_like(u_b[:, 0:1])
+        # forward edge terms (grad_j ← Dab2_jᵀ u_pred(j)): slot 0 from the
+        # parent's last input (cross-level), slots 1..l−1 within-branch
+        if k > 0:
+            mtp = levels[k - 1]
+            up_b = _ublk(u_c, mtp)
+            up_last = _repeat0(
+                jnp.squeeze(up_b[:, mtp.l - 1:mtp.l], axis=1), m)  # (nb,d,T)
+            first = bmtv(Dab_b[:, 0:1], up_last[:, None])
+        else:
+            first = zslot
+        fwd = [first]
+        if mt.l > 1:
+            fwd.append(bmtv(Dab_b[:, 1:], u_b[:, :-1]))
+        # backward edge terms (grad_pred ← Dab2_j u_j): slots 0..l−2 from
+        # within-branch successors, slot l−1 from the children's first edge
+        if k + 1 < len(levels):
+            mtc = levels[k + 1]
+            Dab_c = _ublk(Dab2, mtc)
+            u_cb = _ublk(u_c, mtc)
+            child_bwd = bmv(Dab_c[:, 0:1], u_cb[:, 0:1])      # (nbc,1,d,T)
+            last = _fold0(child_bwd, m)                       # (nb,1,d,T)
+        else:
+            last = zslot
+        bwd = []
+        if mt.l > 1:
+            bwd.append(bmv(Dab_b[:, 1:], u_b[:, 1:]))
+        bwd.append(last)
+        acc = (jnp.concatenate(fwd, axis=1) if len(fwd) > 1 else fwd[0]) \
+            + (jnp.concatenate(bwd, axis=1) if len(bwd) > 1 else bwd[0])
+        edge_blocks.append(acc.reshape(mt.nb * mt.l, d, -1))
+    return jnp.concatenate(edge_blocks, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # One fused IPM iteration (pure jnp on a batch tile, batch-last)
 # ---------------------------------------------------------------------------
@@ -399,10 +469,10 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
         w3 = clampw(lam3 / sl3)
         kap = slack_quad + w1 + w3 + cfg.reg
         coefs = w1 - w1 * w1 / kap
-        eye_n = jnp.eye(n, dtype=dtype)[None, :, :, None]
+        eye_n = _eye2(n, dtype)[None, :, :, None]
         Qx2_eff = Qx2 + row_quad(coefs) + cfg.reg * eye_n
         # Ru2_eff = Ru2 + Σ_r w2_r Fu_r Fu_rᵀ + reg I
-        Ru2_eff = Ru2 + cfg.reg * jnp.eye(d, dtype=dtype)[None, :, :, None]
+        Ru2_eff = Ru2 + cfg.reg * _eye2(d, dtype)[None, :, :, None]
         Ru2_eff = Ru2_eff + jnp.sum(
             w2[:, :, None, None, :] * FuFu[None, :, :, :, None], axis=1)
         Pterm2_eff = Pterm2 + cfg.reg * eye_n
@@ -426,56 +496,7 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
 
         rd_x = qx2_mv(Qx2, cxv) + qx + row_mulT(lam1)
         rd_u0 = qx2_mv(Ru2, u_c) + qu + fu_mulT(lam2)
-        # rate-edge terms: edge (pred(j) → j) contributes Dab2_jᵀ u_pred to
-        # grad_j and Dab2_j u_j to grad_pred. All edges are static in the
-        # level-blocked layout: within-branch = shift by one step; cross-level
-        # = parent-last ↔ child-first. Accumulated per level block, then
-        # assembled by one concatenation (no scatters).
-        def bmtv(Mb, vb):
-            # blockwise Mᵀ v: (nb, l, k, i, T), (nb, l, k, T) → (nb, l, i, T)
-            return jnp.sum(Mb * vb[:, :, :, None, :], axis=2)
-
-        def bmv(Mb, vb):
-            # blockwise M v: (nb, l, i, k, T), (nb, l, k, T) → (nb, l, i, T)
-            return jnp.sum(Mb * vb[:, :, None, :, :], axis=3)
-
-        edge_blocks = []
-        for k in range(len(levels)):
-            mt = levels[k]
-            Dab_b = _ublk(Dab2, mt)                       # (nb, l, d, d, T)
-            u_b = _ublk(u_c, mt)                          # (nb, l, d, T)
-            zslot = jnp.zeros_like(u_b[:, 0:1])
-            # forward edge terms (grad_j ← Dab2_jᵀ u_pred(j)): slot 0 from the
-            # parent's last input (cross-level), slots 1..l−1 within-branch
-            if k > 0:
-                mtp = levels[k - 1]
-                up_b = _ublk(u_c, mtp)
-                up_last = _repeat0(
-                    jnp.squeeze(up_b[:, mtp.l - 1:mtp.l], axis=1), m)  # (nb,d,T)
-                first = bmtv(Dab_b[:, 0:1], up_last[:, None])
-            else:
-                first = zslot
-            fwd = [first]
-            if mt.l > 1:
-                fwd.append(bmtv(Dab_b[:, 1:], u_b[:, :-1]))
-            # backward edge terms (grad_pred ← Dab2_j u_j): slots 0..l−2 from
-            # within-branch successors, slot l−1 from the children's first edge
-            if k + 1 < len(levels):
-                mtc = levels[k + 1]
-                Dab_c = _ublk(Dab2, mtc)
-                u_cb = _ublk(u_c, mtc)
-                child_bwd = bmv(Dab_c[:, 0:1], u_cb[:, 0:1])      # (nbc,1,d,T)
-                last = _fold0(child_bwd, m)                       # (nb,1,d,T)
-            else:
-                last = zslot
-            bwd = []
-            if mt.l > 1:
-                bwd.append(bmv(Dab_b[:, 1:], u_b[:, 1:]))
-            bwd.append(last)
-            acc = (jnp.concatenate(fwd, axis=1) if len(fwd) > 1 else fwd[0]) \
-                + (jnp.concatenate(bwd, axis=1) if len(bwd) > 1 else bwd[0])
-            edge_blocks.append(acc.reshape(mt.nb * mt.l, d, -1))
-        rd_u = rd_u0 + jnp.concatenate(edge_blocks, axis=0)
+        rd_u = rd_u0 + _rate_edge_terms(levels, Dab2, u_c, m)
         rd_s = slack_quad * s_c + slack_lin[:, None, :] - lam1 - lam3
         rd_term = qx2_mv(Pterm2, term_gather(x_c)) + qterm
 
@@ -500,7 +521,8 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
         da = direction(sl1 * lam1, sl2 * lam2, sl3 * lam3)
 
         def max_step(v, dv):
-            ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+            ratio = jnp.where(dv < 0, -v / dv,
+                              jnp.asarray(jnp.inf, dtype))
             return jnp.minimum(1.0, min_lane(ratio))
 
         def all_step(dirs):
@@ -519,7 +541,8 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
             + sum_lane((sl2 + a_aff * dsl2a) * (lam2 + a_aff * dlam2a))
             + sum_lane((sl3 + a_aff * dsl3a) * (lam3 + a_aff * dlam3a))
         ) / mtot
-        sigma_c = jnp.clip((gap_aff / (gap + 1e-30)) ** 3, 0.0, 1.0)
+        sigma_c = jnp.clip((gap_aff / (gap + 1e-30)) ** 3,
+                           jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
 
         dc = direction(
             sl1 * lam1 + dsl1a * dlam1a - sigma_c * gap,
@@ -576,7 +599,10 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
             # require explicit per-lane finiteness before accepting
             cand_ok = jnp.ones((1, T), dtype) > 0.5
             for cc_ in cand:
-                fin = jnp.min(jnp.where(jnp.isfinite(cc_), 1.0, 0.0),
+                # NB: .astype(dtype) directly on the bool — a weak-float
+                # where(cond, 1.0, 0.0) promotes to f64 under x64 and Mosaic
+                # has no f64 reductions
+                fin = jnp.min(jnp.isfinite(cc_).astype(dtype),
                               axis=tuple(range(cc_.ndim - 1)), keepdims=True)
                 cand_ok = jnp.logical_and(cand_ok, fin.reshape(1, T) > 0.5)
             accept = jnp.logical_and(a_new > a_cur, cand_ok)   # (1, T)
@@ -584,7 +610,8 @@ def make_iteration(plan: StagePlan, cfg: QPIPMConfig, nFx: int, nFu: int,
                        for c_, o_ in zip(cand, dc))
 
         a0 = cfg.tau * all_step(dc)
-        a0 = jnp.where(gap < cfg.gap_tol * (1.0 + jnp.abs(gap)), 0.0, a0)
+        a0 = jnp.where(gap < cfg.gap_tol * (1.0 + jnp.abs(gap)),
+                       jnp.asarray(0.0, dtype), a0)
         (dx, du, dsv, dsl1, dlam1, dsl2, dlam2, dsl3, dlam3) = dc
 
         def gap_at(a):
@@ -668,15 +695,27 @@ def qp_ipm_solve_pl(
     use_pallas: bool = True,
     tile_b: int = 256,
     interpret: bool = False,
+    s_warm_bl=None,
 ):
     """Fused-iteration IPM, batch-last interface identical to
     ``tree_qp_bl.qp_ipm_solve_bl``. ``use_pallas=False`` runs the same
-    level-blocked iteration as plain XLA (CPU/debug path)."""
+    level-blocked iteration as plain XLA (CPU/debug path).
+
+    ``s_warm_bl``: optional warm start for the slack variables (a restart
+    phase passes the previous solve's s; the default zeros is the cold
+    reference init)."""
     topo = plan.topo
     n, d = topo.n, topo.d
     totalu = topo.totalu
     dtype = x_warm_bl.dtype
     Z = x_warm_bl.shape[-1]
+    # Mosaic rejects zero-size vectors: a config with no state rows (e.g. the
+    # quadruped, Fx (0, n)) gets one inert padded row 0·x ≤ 1e9 — never
+    # active, exact same optimum, keeps every kernel shape positive.
+    nFx_orig = np.asarray(Fx).shape[0]
+    if nFx_orig == 0:
+        Fx = np.zeros((1, n))
+        bx = np.full((1,), 1e9)
     nFx = np.asarray(Fx).shape[0]
     nFu = np.asarray(Fu).shape[0]
     Nc = nFx + 1
@@ -696,7 +735,13 @@ def qp_ipm_solve_pl(
 
     x_i = x_warm_bl
     u_i = u_warm_bl
-    s_i = jnp.zeros((totalu, Nc, Z), dtype)
+    if s_warm_bl is None:
+        s_i = jnp.zeros((totalu, Nc, Z), dtype)
+    else:
+        s_i = jnp.asarray(s_warm_bl, dtype)
+        if s_i.shape[1] < Nc:     # caller saw the unpadded Fx (nFx_orig == 0)
+            s_i = jnp.concatenate(
+                [s_i, jnp.zeros((totalu, Nc - s_i.shape[1], Z), dtype)], axis=1)
     dh = consts["dh"]
     b1 = consts["b1"]
 
@@ -730,29 +775,31 @@ def qp_ipm_solve_pl(
         def step_fn(*args):
             return iterate(*args)
 
+    n_best = 3     # best-iterate tracking: x, u, s (+ gap)
+
     def scan_body(state, _):
         (carry, best) = state
         out = step_fn(*const_args, *carry)
         new_carry = out[:CARRY_FIELDS]
         gap = out[CARRY_FIELDS].reshape(-1)               # (1, Z) or (Z,) → (Z,)
-        (bx_, bu_, bs_, bgap) = best
+        bgap = best[-1]
         better = gap < bgap
-        best_new = (
-            jnp.where(better, carry[0], bx_), jnp.where(better, carry[1], bu_),
-            jnp.where(better, carry[2], bs_), jnp.where(better, gap, bgap),
-        )
+        best_new = tuple(jnp.where(better, c_, b_)
+                         for c_, b_ in zip(carry[:n_best], best[:-1])) \
+            + (jnp.where(better, gap, bgap),)
         return (new_carry, best_new), gap
 
-    best0 = (x_i, u_i, s_i, jnp.full((Z,), np.inf, dtype))
+    best0 = tuple(carry0[:n_best]) + (jnp.full((Z,), np.inf, dtype),)
     (carry_f, best_f), gaps = jax.lax.scan(
         scan_body, (carry0, best0), None, length=cfg.iters)
     gap_last = gaps[-1]
-    bx_, bu_, bs_, bgap = best_f
+    bgap = best_f[-1]
     use_last = gap_last <= bgap
-    x_f = jnp.where(use_last, carry_f[0], bx_)
-    u_f = jnp.where(use_last, carry_f[1], bu_)
-    s_f = jnp.where(use_last, carry_f[2], bs_)
+    sel = tuple(jnp.where(use_last, c_, b_)
+                for c_, b_ in zip(carry_f[:n_best], best_f[:-1]))
+    x_f, u_f, s_f = sel[0], sel[1], sel[2]
     gap_f = jnp.where(use_last, gap_last, bgap)
+
     rows1 = row_mul(cx_gather(x_f)) - s_f
     rows2 = fu_mul(u_f)
     prim = jnp.maximum(
@@ -764,6 +811,8 @@ def qp_ipm_solve_pl(
         ),
     )
     aux = {"prim_res": prim, "gap": gap_f, "gaps": gaps}
+    if nFx_orig == 0:
+        s_f = s_f[:, :1]          # drop the inert padded row's slack
     return x_f, u_f, s_f, aux
 
 
@@ -822,28 +871,28 @@ def _make_pallas_iteration(plan, cfg, nFx, nFu, mtot, n, d, totalx, totalu,
             if name in tiled_const:
                 base = tiled_const[name]
                 blk = base + (tb,)
-                idx = (lambda nb_dims: (lambda i: (0,) * nb_dims + (i,)))(len(base))
+                idx = (lambda nb_dims: (lambda i: (np.int32(0),) * nb_dims + (i,)))(len(base))
                 in_specs.append(pl.BlockSpec(blk, idx,
                                              memory_space=pltpu.ANY
                                              if False else pltpu.VMEM))
             else:
                 shp = shared_const[name]
-                in_specs.append(pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                in_specs.append(pl.BlockSpec(shp, lambda i: (np.int32(0),) * len(shp),
                                              memory_space=pltpu.VMEM))
         for shp in carry_shapes:
             blk = shp + (tb,)
-            idx = (lambda nb_dims: (lambda i: (0,) * nb_dims + (i,)))(len(shp))
+            idx = (lambda nb_dims: (lambda i: (np.int32(0),) * nb_dims + (i,)))(len(shp))
             in_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
 
         out_specs = []
         out_shapes = []
         for shp in carry_shapes:
             blk = shp + (tb,)
-            idx = (lambda nb_dims: (lambda i: (0,) * nb_dims + (i,)))(len(shp))
+            idx = (lambda nb_dims: (lambda i: (np.int32(0),) * nb_dims + (i,)))(len(shp))
             out_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(shp + (Z,), dtype))
         # gap (1, Z) — kept 2D across the kernel boundary
-        out_specs.append(pl.BlockSpec((1, tb), lambda i: (0, i),
+        out_specs.append(pl.BlockSpec((1, tb), lambda i: (np.int32(0), i),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct((1, Z), dtype))
 
