@@ -185,8 +185,19 @@ def make_branch_mpc_batched_step(
     prep_dtype=None,
     refine_f64: int = 0,
     refine_cfg: Optional[QPIPMConfig] = None,
+    solve_dtype=None,
 ):
     """Batch-last variant of ``make_branch_mpc_step`` (IPM backend only).
+
+    ``solve_dtype``: dtype of the (phase-1) fused solve, independent of the
+    input/state dtype. The parity-grade mode passes f64 states with
+    ``solve_dtype=float32`` + ``refine_f64``: the measured state reaches the
+    f64 tree build unquantized (an f32-rounded state perturbs y by ~6e-8,
+    which near a collision-softmin tie flips the linearization gradient at
+    O(1) — a *different, equally valid* QP whose optimum can differ by O(0.1);
+    measured on the demo cold start: dh changes by 2.2 from the f32 rounding
+    of y=1.8 alone) while the heavy iterations still run in f32. Outputs and
+    carry stay in the input dtype.
 
     ``refine_f64``: number of f64 restart iterations run after the (f32)
     fused solve — the parity-grade on-chip mode. The f32 Mehrotra iteration
@@ -280,11 +291,12 @@ def make_branch_mpc_batched_step(
 
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
         dt_in = jnp.asarray(xs).dtype
+        sd = jnp.dtype(solve_dtype) if solve_dtype is not None else dt_in
         ts_p, cost_p = jax.vmap(prep, in_axes=(0, 0, 0, 0, None))(
             carrys, xs, zs, xRefs, policy_params
         )
-        ts_b = _cast_pytree(ts_p, dt_in)
-        cost_b = _cast_pytree(cost_p, dt_in)
+        ts_b = _cast_pytree(ts_p, sd)
+        cost_b = _cast_pytree(cost_p, sd)
         x_nodes_bl, u_bl, s_bl, info = solve_bl(
             plan, cost_to_bl(cost_b),
             _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.C),
@@ -308,17 +320,15 @@ def make_branch_mpc_batched_step(
                 rcfg, use_pallas=False,
                 s_warm_bl=s_bl.astype(f64),
             )
-            x_nodes_bl = x_nodes_bl.astype(dt_in)
-            u_bl = u_bl.astype(dt_in)
-            s_bl = s_bl.astype(dt_in)
-            info = {**info, "prim_res": info2["prim_res"].astype(dt_in),
-                    "gap": info2["gap"].astype(dt_in)}
-        x_nodes = _from_bl(x_nodes_bl)
-        u = _from_bl(u_bl)
-        s = _from_bl(s_bl)
+            info = {**info, "prim_res": info2["prim_res"],
+                    "gap": info2["gap"]}
+        x_nodes = _from_bl(x_nodes_bl).astype(dt_in)
+        u = _from_bl(u_bl).astype(dt_in)
+        s = _from_bl(s_bl).astype(dt_in)
+        info = {**info, "prim_res": jnp.asarray(info["prim_res"], dt_in)}
         B = u.shape[0]
         new_carry = MPCCarry(
-            u_lin=u, p=ts_b.p, old_input=u[:, 0],
+            u_lin=u, p=ts_b.p.astype(dt_in), old_input=u[:, 0],
             initialized=jnp.broadcast_to(jnp.asarray(True), (B,)),
             y1=carrys.y1, y2=carrys.y2, y3=carrys.y3,
         )

@@ -104,6 +104,9 @@ def make_cvar_mpc_batched_step(
     tile_b: int = 128,
     use_S: bool = False,
     prep_dtype=None,
+    refine_f64: int = 0,
+    refine_cfg: Optional[CVaRIPMConfig] = None,
+    solve_dtype=None,
 ):
     """Batch-last fused-kernel variant of ``make_cvar_mpc_step``. The returned
     ``step(carrys, xs, zs, xRefs, policy_params[, S, bx])`` takes
@@ -127,22 +130,29 @@ def make_cvar_mpc_batched_step(
             initialized=jnp.asarray(False),
         )
 
+    if refine_f64 > 0 and prep_dtype is None:
+        prep_dtype = jnp.float64
+    # tuned default start for the restart — a small-μ0 "gentle" start was
+    # measured (QP path) to diverge monotonically from fresh under-scaled
+    # duals; see branch_mpc.make_branch_mpc_batched_step
+    rcfg = refine_cfg if refine_cfg is not None else CVaRIPMConfig(
+        iters=refine_f64, gondzio=ipm.gondzio)
+
     def prep(carry: MPCCarry, x, z, policy_params):
         x = jnp.asarray(x)
         pd = jnp.dtype(prep_dtype) if prep_dtype is not None else x.dtype
         shifted = shift_warm_start(topo, carry.u_lin, carry.p)
         u_lin = jnp.where(carry.initialized, shifted, jnp.zeros_like(shifted))
-        ts = build_tree(model, topo, x.astype(pd), jnp.asarray(z).astype(pd),
-                        u_lin.astype(pd), _cast_pytree(policy_params, pd))
-        if pd != x.dtype:
-            ts = _cast_pytree(ts, x.dtype)
-        return ts
+        return build_tree(model, topo, x.astype(pd), jnp.asarray(z).astype(pd),
+                          u_lin.astype(pd), _cast_pytree(policy_params, pd))
 
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params, S=None, bx=None):
-        dt_ = jnp.asarray(xs).dtype
+        dt_in = jnp.asarray(xs).dtype
+        dt_ = jnp.dtype(solve_dtype) if solve_dtype is not None else dt_in
         policy_params = _cast_pytree(policy_params, dt_)
-        ts_b = jax.vmap(prep, in_axes=(0, 0, 0, None))(
+        ts_p = jax.vmap(prep, in_axes=(0, 0, 0, None))(
             carrys, xs, zs, policy_params)
+        ts_b = _cast_pytree(ts_p, dt_)
         S_bl = (jnp.moveaxis(jnp.asarray(S, dt_), 0, -1)
                 if (use_S and S is not None) else None)
         bx_used = (params.bx if bx is None
@@ -156,11 +166,35 @@ def make_cvar_mpc_batched_step(
             ralpha, params.Fx, bx_used, params.Fu, params.bu,
             cfg=ipm, use_pallas=use_pallas, tile_b=tile_b, S_bl=S_bl,
         )
-        x_f, u_f, s_f = _from_bl(x_bl), _from_bl(u_bl), _from_bl(s_bl)
-        r_f = jnp.moveaxis(r_bl, -1, 0)
+        if refine_f64 > 0:
+            f64 = jnp.float64
+            ts64 = _cast_pytree(ts_p, f64)
+            bx64 = (jnp.asarray(params.bx, f64) if bx is None
+                    else jnp.moveaxis(jnp.asarray(bx, f64), 0, -1))
+            S64 = (jnp.moveaxis(jnp.asarray(S, f64), 0, -1)
+                   if (use_S and S is not None) else None)
+            x_bl, u_bl, s_bl, r_bl, aux2 = cvar_ipm_solve_pl(
+                cplan,
+                _to_bl(ts64.A), _to_bl(ts64.Bm), _to_bl(ts64.dh),
+                _to_bl(ts64.h0),
+                x_bl.astype(f64), u_bl.astype(f64),
+                jnp.moveaxis(ts64.p, 0, -1),
+                params.Q, params.R, params.Qslack,
+                _to_bl(jnp.asarray(xRefs, f64)),
+                ralpha, params.Fx, bx64, params.Fu, params.bu,
+                cfg=rcfg, use_pallas=False, S_bl=S64,
+                s_warm_bl=s_bl.astype(f64), r_warm_bl=r_bl.astype(f64),
+            )
+            aux = {**aux, "J": aux2["J"], "gap": aux2["gap"]}
+        x_f = _from_bl(x_bl).astype(dt_in)
+        u_f = _from_bl(u_bl).astype(dt_in)
+        s_f = _from_bl(s_bl).astype(dt_in)
+        r_f = jnp.moveaxis(r_bl, -1, 0).astype(dt_in)
+        aux = {**aux, "J": jnp.asarray(aux["J"], dt_in),
+               "gap": jnp.asarray(aux["gap"], dt_in)}
         B = u_f.shape[0]
         new_carry = MPCCarry(
-            u_lin=u_f, p=ts_b.p, old_input=u_f[:, 0],
+            u_lin=u_f, p=ts_b.p.astype(dt_in), old_input=u_f[:, 0],
             initialized=jnp.broadcast_to(jnp.asarray(True), (B,)),
         )
         res = CVaRSolveResult(

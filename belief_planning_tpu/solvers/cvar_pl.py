@@ -47,6 +47,14 @@ operand lowers to an unsupported offset multi_reduction — unroll (``sum1``).
 
 Measured (v5e, 40 iterations, tile 128): 422 solves/s (vmapped, B=1024) →
 6.1k (B=256) / 14.8k (B=4096) / 15.2k (B=8192) — 36×.
+
+MXU experiment (2026-08-21, ``CVaRIPMConfig.mxu``): routing the K-cone
+mask/risk contractions through 2-D ``jnp.dot`` (full-f32 MXU matmuls,
+verified bit-identical per iteration vs the VPU path) measured *slightly
+slower* — interleaved A/B at B=8192/iters=24: VPU 14.7/15.0/14.6k vs MXU
+14.0/14.8/11.6k solves/s. The contractions are too small ((12, 104)@(104,
+128)) for MXU issue latency to beat the VPU, and the kernel's critical path
+is the per-lane Riccati smalls either way. Kept as an option, default off.
 """
 
 from __future__ import annotations
@@ -881,6 +889,8 @@ def cvar_ipm_solve_pl(
     tile_b: int = 128,
     S_bl=None,
     interpret: bool = False,
+    s_warm_bl=None,
+    r_warm_bl=None,
 ):
     """Batch-last fused-iteration CVaR IPM. Inputs are ``_to_bl``-transposed
     tree arrays; ``xRef_bl`` is (n, Z); ``p_bl`` is (n_branches, m, Z).
@@ -956,8 +966,10 @@ def cvar_ipm_solve_pl(
         return jnp.concatenate(parts, axis=0)
 
     x_i, u_i = x_lin_bl, u_lin_bl
-    s_i = jnp.zeros((totalu, Nc, Z), dtype)
-    r_i = jnp.zeros((nrisk, Z), dtype)
+    s_i = (jnp.zeros((totalu, Nc, Z), dtype) if s_warm_bl is None
+           else jnp.asarray(s_warm_bl, dtype))
+    r_i = (jnp.zeros((nrisk, Z), dtype) if r_warm_bl is None
+           else jnp.asarray(r_warm_bl, dtype))
     xc0 = cx_gather(x_i)
     rows1 = jnp.concatenate(
         [-jnp.sum(dh_bl * xc0, axis=1, keepdims=True),

@@ -57,7 +57,8 @@ def main():
     iters = int(os.environ.get("CVAR_ITERS", "24"))
     cfg = CVaRIPMConfig(iters=iters,
                         gondzio=int(os.environ.get("CVAR_GONDZIO", "2")),
-                        outer_dtype=os.environ.get("CVAR_OUTER", "same"))
+                        outer_dtype=os.environ.get("CVAR_OUTER", "same"),
+                        mxu=os.environ.get("CVAR_MXU", "0") == "1")
     backend = os.environ.get("BENCH_BACKEND", "vmap")
     if backend == "vmap":
         topo, _cplan, init_carry, step = make_cvar_mpc_step(
@@ -104,7 +105,7 @@ def main():
         "metric": "cvar_mpc_solves_per_sec_per_chip",
         "value": round(B / dt_wall, 1),
         "unit": "solves/s",
-        "B": B, "iters": iters,
+        "B": B, "iters": iters, "mxu": cfg.mxu,
         "gap_p50": float(np.percentile(gap, 50)),
         "gap_max": float(gap.max()),
     }))

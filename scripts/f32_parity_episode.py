@@ -62,7 +62,8 @@ def main():
     x0 = np.array([0.0, 1.8, 20.0, 0.0])
     z0 = np.array([9.0, 1.8, 17.0, 0.0])
 
-    def episode(dtype, ipm, backend, refine=0, forced_states=None):
+    def episode(dtype, ipm, backend, refine=0, forced_states=None,
+                solve_dtype=None):
         """Closed loop (forced_states=None) or teacher-forced on a given
         (x, z) state trajectory — the per-step solver-accuracy metric, immune
         to the receding-horizon fork sensitivity (the tree is re-linearized
@@ -73,7 +74,7 @@ def main():
         topo, init_carry, step = make_branch_mpc_batched_step(
             model, params, "prox", ipm=ipm, backend=backend,
             backend_opts={"tile_b": 128} if backend == "pl" else None,
-            refine_f64=refine)
+            refine_f64=refine, solve_dtype=solve_dtype)
         js = jax.jit(step)
         c = init_carry(dtype)
         carry = jax.tree.map(lambda a: jnp.broadcast_to(a, (1,) + a.shape), c)
@@ -100,15 +101,21 @@ def main():
 
     u64, t64, states64 = episode(jnp.float64, QPIPMConfig(iters=40), "pl_xla")
     results = {}
-    for tag, (dtype, ipm, backend, refine) in {
-        "f32": (jnp.float32, QPIPMConfig(iters=8, gondzio=2), "pl", 0),
-        "refine10": (jnp.float32, QPIPMConfig(iters=8, gondzio=2), "pl", 10),
-        "refine16": (jnp.float32, QPIPMConfig(iters=8, gondzio=2), "pl", 16),
+    # refine10 passes states in f64 (the reference's own state pipeline is
+    # f64) with the heavy phase-1 iterations still in f32: an f32-quantized
+    # measured state is a ~6e-8 perturbation that flips collision-softmin
+    # linearization gradients at near-ties — a different, equally valid QP
+    # with an O(0.1)-different optimum (measured: dh changes by 2.2 on the
+    # demo cold start from the f32 rounding of y=1.8 alone).
+    for tag, (dtype, ipm, backend, refine, sd) in {
+        "f32": (jnp.float32, QPIPMConfig(iters=8, gondzio=2), "pl", 0, None),
+        "refine10": (jnp.float64, QPIPMConfig(iters=8, gondzio=2), "pl", 10,
+                     jnp.float32),
     }.items():
-        u, t, _ = episode(dtype, ipm, backend, refine)
+        u, t, _ = episode(dtype, ipm, backend, refine, solve_dtype=sd)
         d = np.abs(u - u64)
         uf, tf, _ = episode(dtype, ipm, backend, refine,
-                            forced_states=states64)
+                            forced_states=states64, solve_dtype=sd)
         df = np.abs(uf - u64)
         results[tag] = {
             "closed_loop": {

@@ -106,8 +106,12 @@ def test_overtake_reference_scale_cvar():
     cons, pset, model, params = overtake_demo_setup()
     adapter = OracleModelAdapter(model, pset.params)
     oracle = OracleCVaRController(params, adapter, ralpha=0.9)
+    # iters=100 + Gondzio correctors: at N=8/NB=2 the cone program needs more
+    # than the N=3 gate's 60 iterations through the overtake maneuver window,
+    # and the correctors fix the warm-start Mehrotra jam (cvar_ipm.py)
     mpc = BranchMPCCVaR(params, model, pset.params, ralpha=0.9,
-                        ipm=CVaRIPMConfig(iters=60), dtype=jnp.float64)
+                        ipm=CVaRIPMConfig(iters=100, gondzio=2),
+                        dtype=jnp.float64)
     x0 = np.array([0.0, 1.8, 20.0, 0.0])
     z0 = np.array([9.0, 1.8, 17.0, 0.0])
     errs = _closed_loop(oracle, mpc, cons, model.dt, 100, x0, z0, params.xRef)
@@ -166,12 +170,14 @@ class _DualSolveMPC:
         self._mpc = mpc
         self._oracle = oracle
         self.errs = []
+        self.gaps = []
         self.psimax = mpc.psimax
 
     def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None):
         u_o = self._oracle.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
+        self.gaps.append(float(np.asarray(self._mpc.last.gap).ravel()[0]))
         return u_j
 
     def __getattr__(self, name):
@@ -201,8 +207,11 @@ def test_merge_reference_scale_lane_switch():
 
     adapter = OracleModelAdapter(model_normal, pset_normal.params)
     oracle = OracleCVaRController(params, adapter, ralpha=0.1)
+    # iters=240 + Gondzio: the post-lane-switch solves start from a warm tree
+    # built under the other lane's geometry — the cold-start-grade jam the
+    # correctors were built for; N=40 also converges slower than the N=3 gate
     mpc = BranchMPCCVaR(params, model_normal, pset_normal.params, ralpha=0.1,
-                        use_S=True, ipm=CVaRIPMConfig(iters=150),
+                        use_S=True, ipm=CVaRIPMConfig(iters=240, gondzio=2),
                         dtype=jnp.float64)
     dual = _DualSolveMPC(mpc, oracle)
     env = HighwayMergeEnv(
@@ -218,5 +227,6 @@ def test_merge_reference_scale_lane_switch():
     errs = np.array(dual.errs)
     assert lane_ids[0] == 1 and lane_ids[-1] == 0, \
         f"episode never crossed the laneID switch: {lane_ids}"
-    assert errs.max() < 1e-3, f"max per-step deviation {errs.max():.2e} " \
-                              f"at step {int(errs.argmax())}"
+    assert errs.max() < 1e-3, (
+        f"max per-step deviation {errs.max():.2e} at step "
+        f"{int(errs.argmax())}; gaps={np.array(dual.gaps).round(6).tolist()}")
