@@ -63,7 +63,7 @@ def main():
     z0 = np.array([9.0, 1.8, 17.0, 0.0])
 
     def episode(dtype, ipm, backend, refine=0, forced_states=None,
-                solve_dtype=None):
+                solve_dtype=None, x0_shift=0.0):
         """Closed loop (forced_states=None) or teacher-forced on a given
         (x, z) state trajectory — the per-step solver-accuracy metric, immune
         to the receding-horizon fork sensitivity (the tree is re-linearized
@@ -78,7 +78,7 @@ def main():
         js = jax.jit(step)
         c = init_carry(dtype)
         carry = jax.tree.map(lambda a: jnp.broadcast_to(a, (1,) + a.shape), c)
-        x, z = x0.copy(), z0.copy()
+        x, z = x0.copy() + x0_shift, z0.copy()
         us, times, states = [], [], []
         for t in range(N_STEPS):
             if forced_states is not None:
@@ -101,17 +101,37 @@ def main():
 
     u64, t64, states64 = episode(jnp.float64, QPIPMConfig(iters=40), "pl_xla")
     results = {}
+    # Conditioning control: the f64 reference vs ITSELF from a 1e-9-shifted
+    # start. The receding-horizon loop re-linearizes around its carried warm
+    # start (SQP); near collision-softmin ties the linearization flips under
+    # arbitrarily small perturbations, so ANY two trajectories — regardless
+    # of solver precision — can deviate at O(1e-2) at those steps. This
+    # number is the intrinsic floor of the closed-loop max-deviation metric.
+    if os.environ.get("EP_CONTROL", "1") != "0":
+        up, _, _ = episode(jnp.float64, QPIPMConfig(iters=40), "pl_xla",
+                           x0_shift=1e-9)
+        dp = np.abs(up - u64)
+        results["f64_selfperturbed_1e-9"] = {
+            "closed_loop": {"max_dev": float(dp.max()),
+                            "p50_dev": float(np.median(dp))},
+        }
     # refine10 passes states in f64 (the reference's own state pipeline is
     # f64) with the heavy phase-1 iterations still in f32: an f32-quantized
     # measured state is a ~6e-8 perturbation that flips collision-softmin
     # linearization gradients at near-ties — a different, equally valid QP
     # with an O(0.1)-different optimum (measured: dh changes by 2.2 on the
     # demo cold start from the f32 rounding of y=1.8 alone).
-    for tag, (dtype, ipm, backend, refine, sd) in {
+    modes = {
         "f32": (jnp.float32, QPIPMConfig(iters=8, gondzio=2), "pl", 0, None),
         "refine10": (jnp.float64, QPIPMConfig(iters=8, gondzio=2), "pl", 10,
                      jnp.float32),
-    }.items():
+        "refine14": (jnp.float64, QPIPMConfig(iters=8, gondzio=2), "pl", 14,
+                     jnp.float32),
+    }
+    sel_modes = os.environ.get("EP_MODES")
+    if sel_modes:
+        modes = {k: v for k, v in modes.items() if k in sel_modes.split(",")}
+    for tag, (dtype, ipm, backend, refine, sd) in modes.items():
         u, t, _ = episode(dtype, ipm, backend, refine, solve_dtype=sd)
         d = np.abs(u - u64)
         uf, tf, _ = episode(dtype, ipm, backend, refine,
