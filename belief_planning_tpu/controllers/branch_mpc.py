@@ -80,6 +80,28 @@ def _cast_pytree(tree, dtype):
     import jax as _jax
     return _jax.tree.map(cast, tree)
 
+
+def _require_x64(refine_f64, prep_dtype, where: str) -> None:
+    """Fail fast when a parity-grade option silently degrades to f32.
+
+    ``refine_f64>0`` / ``prep_dtype=float64`` rely on real f64 arithmetic;
+    with ``jax_enable_x64`` off every ``astype(float64)`` no-ops to f32 and
+    the refine phase re-runs into the same f32 precision wall, returning
+    unimproved results with no error. Raise at factory time instead."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    wants_f64 = refine_f64 > 0 or (
+        prep_dtype is not None and _jnp.dtype(prep_dtype) == _jnp.float64
+    )
+    if wants_f64 and not _jax.config.jax_enable_x64:
+        raise ValueError(
+            f"{where}: refine_f64>0 / prep_dtype=float64 require "
+            "jax.config.update('jax_enable_x64', True); without it the f64 "
+            "phase silently runs in f32 and cannot pass the precision wall."
+        )
+
+
 def make_branch_mpc_step(
     model: PredictiveModel,
     params: BranchMPCParams,
@@ -264,6 +286,7 @@ def make_branch_mpc_batched_step(
 
     if refine_f64 > 0 and prep_dtype is None:
         prep_dtype = jnp.float64
+    _require_x64(refine_f64, prep_dtype, "make_branch_mpc_batched_step")
     # the restart keeps the TUNED default start (μ0=10, sl_min=0.1): a
     # "gentler" small-μ0 start (1e-3) was measured to diverge monotonically —
     # fresh duals far below their true scale force a gap climb and the
@@ -325,7 +348,8 @@ def make_branch_mpc_batched_step(
         x_nodes = _from_bl(x_nodes_bl).astype(dt_in)
         u = _from_bl(u_bl).astype(dt_in)
         s = _from_bl(s_bl).astype(dt_in)
-        info = {**info, "prim_res": jnp.asarray(info["prim_res"], dt_in)}
+        info = {**info, "prim_res": jnp.asarray(info["prim_res"], dt_in),
+                "gap": jnp.asarray(info["gap"], dt_in)}
         B = u.shape[0]
         new_carry = MPCCarry(
             u_lin=u, p=ts_b.p.astype(dt_in), old_input=u[:, 0],

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from belief_planning_tpu.controllers.branch_mpc import MPCCarry, _cast_pytree
+from belief_planning_tpu.controllers.branch_mpc import (
+    MPCCarry,
+    _cast_pytree,
+    _require_x64,
+)
 from belief_planning_tpu.models.predictive import PredictiveModel
 from belief_planning_tpu.solvers.cvar import build_cvar_plan
 from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig, cvar_ipm_solve
@@ -132,6 +136,7 @@ def make_cvar_mpc_batched_step(
 
     if refine_f64 > 0 and prep_dtype is None:
         prep_dtype = jnp.float64
+    _require_x64(refine_f64, prep_dtype, "make_cvar_mpc_batched_step")
     # tuned default start for the restart — a small-μ0 "gentle" start was
     # measured (QP path) to diverge monotonically from fresh under-scaled
     # duals; see branch_mpc.make_branch_mpc_batched_step
@@ -149,7 +154,9 @@ def make_cvar_mpc_batched_step(
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params, S=None, bx=None):
         dt_in = jnp.asarray(xs).dtype
         dt_ = jnp.dtype(solve_dtype) if solve_dtype is not None else dt_in
-        policy_params = _cast_pytree(policy_params, dt_)
+        # policy params are cast once inside prep (to pd): a step-level cast
+        # to the f32 solve dtype here would quantize them before the f64 prep
+        # re-cast, defeating prep_dtype (near-tie softmin gradient flips).
         ts_p = jax.vmap(prep, in_axes=(0, 0, 0, None))(
             carrys, xs, zs, policy_params)
         ts_b = _cast_pytree(ts_p, dt_)
@@ -162,7 +169,7 @@ def make_cvar_mpc_batched_step(
             _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh), _to_bl(ts_b.h0),
             _to_bl(ts_b.x_lin), _to_bl(ts_b.u_lin),
             jnp.moveaxis(ts_b.p, 0, -1),
-            params.Q, params.R, params.Qslack, _to_bl(jnp.asarray(xRefs)),
+            params.Q, params.R, params.Qslack, _to_bl(jnp.asarray(xRefs, dt_)),
             ralpha, params.Fx, bx_used, params.Fu, params.bu,
             cfg=ipm, use_pallas=use_pallas, tile_b=tile_b, S_bl=S_bl,
         )
