@@ -80,8 +80,13 @@ def make_cvar_mpc_step(
         x_f, u_f, s_f, r_f, aux = cvar_ipm_solve(
             cplan, ts, Q, R, Qslack, xRef, ralpha,
             Fx, bx_used, Fu, bu, x,
-            S=(jnp.asarray(S, x.dtype) if use_S else None),
+            S=(jnp.asarray(S, x.dtype) if (use_S and S is not None) else None),
             cfg=ipm,
+            # dh[0]-floor quirk applies to warm re-solves only
+            # (MPC_branch.py:2030 lives in updateIneqConstr, not the cold
+            # buildIneqConstr) — measured 1.2e-2 u0 parity error on the cold
+            # merge solve when floored cold
+            dh0_floor=carry.initialized,
         )
         new_carry = MPCCarry(
             u_lin=u_f, p=ts.p, old_input=u_f[0], initialized=jnp.asarray(True),
@@ -164,6 +169,9 @@ def make_cvar_mpc_batched_step(
                 if (use_S and S is not None) else None)
         bx_used = (params.bx if bx is None
                    else jnp.moveaxis(jnp.asarray(bx, dt_), 0, -1))
+        # warm-only dh[0]-floor quirk, per lane (see make_cvar_mpc_step)
+        floor_bl = jnp.broadcast_to(jnp.asarray(carrys.initialized),
+                                    (xs.shape[0],))
         x_bl, u_bl, s_bl, r_bl, aux = cvar_ipm_solve_pl(
             cplan,
             _to_bl(ts_b.A), _to_bl(ts_b.Bm), _to_bl(ts_b.dh), _to_bl(ts_b.h0),
@@ -172,6 +180,7 @@ def make_cvar_mpc_batched_step(
             params.Q, params.R, params.Qslack, _to_bl(jnp.asarray(xRefs, dt_)),
             ralpha, params.Fx, bx_used, params.Fu, params.bu,
             cfg=ipm, use_pallas=use_pallas, tile_b=tile_b, S_bl=S_bl,
+            dh0_floor=floor_bl,
         )
         if refine_f64 > 0:
             f64 = jnp.float64
@@ -191,6 +200,7 @@ def make_cvar_mpc_batched_step(
                 ralpha, params.Fx, bx64, params.Fu, params.bu,
                 cfg=rcfg, use_pallas=False, S_bl=S64,
                 s_warm_bl=s_bl.astype(f64), r_warm_bl=r_bl.astype(f64),
+                dh0_floor=floor_bl,
             )
             aux = {**aux, "J": aux2["J"], "gap": aux2["gap"]}
         x_f = _from_bl(x_bl).astype(dt_in)
@@ -260,8 +270,12 @@ class BranchMPCCVaR:
         if xRef is None:
             xRef = self.params.xRef
         args = dict(S=None, bx=None)
-        if self.use_S:
-            args["S"] = np.eye(self.params.n) if S is None else np.asarray(S)
+        if self.use_S and S is not None:
+            # S=None passes through (reference semantics: ``self.S = S`` every
+            # solve — post-lane-switch merge solves run the plain no-S path,
+            # including NO dh[0] floor); an identity substitute here would
+            # keep the floor quirk alive after the switch.
+            args["S"] = np.asarray(S)
         if bx is not None:
             args["bx"] = np.asarray(bx, float)
         self.carry, res = self._step(

@@ -152,6 +152,7 @@ def cvar_solve(
     x0,
     S=None,
     cfg: CVaRConfig = CVaRConfig(),
+    dh0_floor=None,
 ):
     """Solve the nested-CVaR tree SOCP for one tree.
 
@@ -197,12 +198,16 @@ def cvar_solve(
     tscale = cconst + 1.0
     tsqrt = jnp.sqrt(tscale)
 
-    # state rows (with the dh[0] magnitude floor when S is given, MPC_branch.py:2030)
+    # state rows (with the dh[0] magnitude floor when S is given,
+    # MPC_branch.py:2030 — warm re-solves only in the reference; dh0_floor
+    # None = always apply (legacy), bool = apply iff True)
     dh = ts.dh
     if S is not None:
         d0 = dh[:, 0]
-        d0 = jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0))
-        dh = dh.at[:, 0].set(d0)
+        d0f = jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0))
+        if dh0_floor is not None:
+            d0f = jnp.where(jnp.asarray(dh0_floor), d0f, d0)
+        dh = dh.at[:, 0].set(d0f)
     Fxc = jnp.concatenate(
         [-dh[:, None, :], jnp.broadcast_to(Fx_used, (totalu, nFx, n))], axis=1
     )

@@ -209,8 +209,12 @@ def cvar_ipm_solve(
     x0,
     S=None,
     cfg: CVaRIPMConfig = CVaRIPMConfig(),
+    dh0_floor=None,
 ):
-    """Solve the CVaR tree SOCP for one tree. Returns (x, u, s, risk, aux)."""
+    """Solve the CVaR tree SOCP for one tree. Returns (x, u, s, risk, aux).
+
+    ``dh0_floor``: with ``S``, gates the warm-only dh[0] magnitude-floor quirk
+    (None = always apply, legacy; bool/traced bool = apply iff True)."""
     plan = cplan.plan
     topo = plan.topo
     n, d, m = topo.n, topo.d, topo.m
@@ -252,9 +256,15 @@ def cvar_ipm_solve(
 
     dh = jnp.asarray(ts.dh, dtype)
     if S is not None:
+        # dh[0] magnitude floor (MPC_branch.py:2030). The reference applies it
+        # ONLY in updateIneqConstr (warm re-solves) — the cold buildIneqConstr
+        # (:1895-1898) uses the raw dh. ``dh0_floor`` replicates that:
+        # None → legacy always-on; a (traced) bool → floor iff warm.
         d0 = dh[:, 0]
-        d0 = jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0))
-        dh = dh.at[:, 0].set(d0)
+        d0f = jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0))
+        if dh0_floor is not None:
+            d0f = jnp.where(jnp.asarray(dh0_floor), d0f, d0)
+        dh = dh.at[:, 0].set(d0f)
     Fxc = jnp.concatenate(
         [-dh[:, None, :], jnp.broadcast_to(Fx_used, (totalu, nFx, n))], axis=1
     )

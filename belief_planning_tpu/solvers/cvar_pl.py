@@ -891,6 +891,7 @@ def cvar_ipm_solve_pl(
     interpret: bool = False,
     s_warm_bl=None,
     r_warm_bl=None,
+    dh0_floor=None,
 ):
     """Batch-last fused-iteration CVaR IPM. Inputs are ``_to_bl``-transposed
     tree arrays; ``xRef_bl`` is (n, Z); ``p_bl`` is (n_branches, m, Z).
@@ -929,9 +930,14 @@ def cvar_ipm_solve_pl(
         # collision-row x-component floored away from zero
         QxC_c = jnp.einsum("jit,jk,klt->ilt", S_bl, Qm, S_bl)
         Fxl_c = jnp.einsum("rj,jnt->rnt", Fx_j, S_bl)
+        # warm-only quirk gate (see cvar_ipm_solve): dh0_floor None = always
+        # (legacy), else a scalar or per-lane (Z,) bool — floor iff True
         d0 = dh_bl[:, 0, :]
-        dh_bl = dh_bl.at[:, 0, :].set(
-            jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0)))
+        d0f = jnp.sign(d0) * jnp.maximum(0.1, jnp.abs(d0))
+        if dh0_floor is not None:
+            fl = jnp.asarray(dh0_floor)
+            d0f = jnp.where(fl[None, :] if fl.ndim == 1 else fl, d0f, d0)
+        dh_bl = dh_bl.at[:, 0, :].set(d0f)
     else:
         QxC_c = jnp.broadcast_to(Qm[:, :, None], (n, n, Z))
         Fxl_c = jnp.broadcast_to(Fx_j[:, :, None], (nFx, n, Z))
@@ -1086,6 +1092,21 @@ def _make_pallas_cvar_iteration(cplan, cfg, dims, totalx, totalu, dtype,
 
     def step_fn(*args):
         Z = args[0].shape[-1]
+        # Mosaic rejects degenerate batch tiles (T=1 hits an unsupported
+        # (a,b)->(a,b,1,1) shape cast); any T<128 also just wastes vector
+        # lanes. Pad small batches up to the lane width with edge replication
+        # (lane-parallel kernel: padded lanes cannot affect real ones) and
+        # slice the outputs back below.
+        Z_in = Z
+        pad_to = min(tile_b, 128)
+        if Z < pad_to:
+            def _pad(a):
+                pw = [(0, 0)] * (a.ndim - 1) + [(0, pad_to - Z)]
+                return jnp.pad(a, pw, mode="edge")
+            args = (tuple(_pad(a) for a in args[:n_const])
+                    + tuple(args[n_const:n_const + n_shared])
+                    + tuple(_pad(a) for a in args[n_const + n_shared:]))
+            Z = pad_to
         if Z % tile_b == 0 and Z >= tile_b:
             grid, tb = (Z // tile_b,), tile_b
         else:
@@ -1115,10 +1136,13 @@ def _make_pallas_cvar_iteration(cplan, cfg, dims, totalx, totalu, dtype,
             cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
         except TypeError:
             cparams = pltpu.TPUCompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
-        return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
+        outs = pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
                               out_specs=tuple(out_specs),
                               out_shape=tuple(out_shapes),
                               compiler_params=cparams,
                               interpret=interpret)(*args)
+        if Z_in != Z:
+            outs = tuple(o[..., :Z_in] for o in outs)
+        return outs
 
     return step_fn

@@ -174,7 +174,15 @@ class _DualSolveMPC:
         self.psimax = mpc.psimax
 
     def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None):
-        u_o = self._oracle.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
+        # post-lane-switch warm solves start from a tree built under the other
+        # geometry; the oracle's dense IPM needs extra headroom there (at the
+        # default 100 iterations it returned status=max_iter at gap 4e-11 and
+        # silently kept the PREVIOUS uPred — gating the engine against stale
+        # oracle outputs)
+        u_o = self._oracle.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx,
+                                 tol=1e-8, max_iter=300)
+        assert self._oracle.solution.status == "optimal", (
+            f"oracle failed to converge: {self._oracle.solution.status}")
         u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
         self.gaps.append(float(np.asarray(self._mpc.last.gap).ravel()[0]))
