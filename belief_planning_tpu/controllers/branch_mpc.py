@@ -208,8 +208,14 @@ def make_branch_mpc_batched_step(
     refine_f64: int = 0,
     refine_cfg: Optional[QPIPMConfig] = None,
     solve_dtype=None,
+    policy_in_axes=None,
 ):
     """Batch-last variant of ``make_branch_mpc_step`` (IPM backend only).
+
+    ``policy_in_axes``: vmap in-axes prefix pytree for ``policy_params`` in the
+    tree-build prep (default ``None`` = shared across lanes). Pass e.g.
+    ``(None, None, LaneChangeParams(x_target=0))`` to give every lane its own
+    lane-change target (the batched closed-loop envs retarget per world).
 
     ``solve_dtype``: dtype of the (phase-1) fused solve, independent of the
     input/state dtype. The parity-grade mode passes f64 states with
@@ -315,7 +321,7 @@ def make_branch_mpc_batched_step(
     def step(carrys: MPCCarry, xs, zs, xRefs, policy_params):
         dt_in = jnp.asarray(xs).dtype
         sd = jnp.dtype(solve_dtype) if solve_dtype is not None else dt_in
-        ts_p, cost_p = jax.vmap(prep, in_axes=(0, 0, 0, 0, None))(
+        ts_p, cost_p = jax.vmap(prep, in_axes=(0, 0, 0, 0, policy_in_axes))(
             carrys, xs, zs, xRefs, policy_params
         )
         ts_b = _cast_pytree(ts_p, sd)

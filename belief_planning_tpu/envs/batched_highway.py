@@ -14,6 +14,21 @@ over thousands of independent worlds and shardable over a mesh:
   NumPy RNG);
 - the lane-change policy target is runtime data, so per-world retargeting needs
   no recompilation (the reference rebuilds its CasADi graphs, ``:117-118``).
+
+Two controller couplings:
+
+- :func:`make_batched_overtake` — per-world controller under ``jax.vmap``
+  (ADMM or vmapped IPM); time is the inner ``lax.scan`` per world.
+- :func:`make_batched_overtake_fused` — the batch-LAST fused-IPM controller
+  (``make_branch_mpc_batched_step``; Pallas kernel on TPU) called once per
+  env step on the whole world batch, with per-world lane-change targets via
+  ``policy_in_axes``; time is the outer ``lax.scan``. This is the deployment
+  configuration behind ``scripts/bench_ensemble.py``: the same kernel that
+  produces bench.py's solves/s number, driving full closed loops on-chip.
+
+Both couplings share the same env-step closures (one source of truth for the
+reference semantics) and the same per-world key chains, so their trajectories
+agree to solver/layout precision (``tests/test_batched_env.py``).
 """
 
 from __future__ import annotations
@@ -24,11 +39,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from belief_planning_tpu.controllers.branch_mpc import make_branch_mpc_step
+from belief_planning_tpu.controllers.branch_mpc import (
+    make_branch_mpc_batched_step,
+    make_branch_mpc_step,
+)
 from belief_planning_tpu.models import policies as pol
 from belief_planning_tpu.models.predictive import PredictiveModel
 from belief_planning_tpu.models.safety import lane_bdry_h, veh_col
 from belief_planning_tpu.solvers.tree_qp import ADMMConfig
+from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
 from belief_planning_tpu.utils.config import BranchMPCParams
 
 V0 = 20.0
@@ -46,20 +65,26 @@ class WorldState(NamedTuple):
     collided: Any     # () bool
 
 
-def make_batched_overtake(
-    cons,
-    model: PredictiveModel,
-    params: BranchMPCParams,
-    variant: str = "prox",
-    admm: ADMMConfig = ADMMConfig(),
-    N_lane: int = 4,
-    dtype=jnp.float32,
-):
-    """Returns (init_worlds(B, key), episode(worlds, keys) → (worlds, traj))."""
-    topo, init_carry, mpc_step = make_branch_mpc_step(model, params, variant, admm)
+class _PreAux(NamedTuple):
+    """Per-world env-step state computed BEFORE the controller call."""
+    ego_lane: Any
+    obs_lane: Any
+    obs_des_y: Any
+    lc_target: Any
+    u_obs: Any
+
+
+class _EnvLogic(NamedTuple):
+    mk_policy_params: Any
+    pre: Any          # (world, key, t) → (xRef, _PreAux)
+    post: Any         # (world, aux, new_carry, u_ego, feasible) → (world, out)
+    init_world: Any   # (key, mpc_carry) → WorldState
+
+
+def _make_env_logic(cons, model: PredictiveModel, N_lane: int, dtype) -> _EnvLogic:
+    """Per-world overtake env-step closures, shared by both controller
+    couplings (reference semantics: ``Highway_env_branch.py:83-184``)."""
     dt = model.dt
-    m = model.m
-    n = 4
     LBsel = (cons.W / 2, N_lane * LANE_W - cons.W / 2)
     brake_sim = pol.brake_params_sim(cons.Kpsi)
 
@@ -84,10 +109,8 @@ def make_batched_overtake(
             [s[2] * jnp.cos(s[3]), s[2] * jnp.sin(s[3]), u[0], u[1]]
         ) * dt
 
-    def env_step(world: WorldState, inp):
-        key, t = inp
+    def pre(world: WorldState, key, t):
         x, z = world.x, world.z
-        pp = mk_policy_params(world.lc_target)
 
         # lane bookkeeping (Highway_env_branch.py:96-118)
         def lane_update(state, lane):
@@ -149,36 +172,71 @@ def make_batched_overtake(
         xRef = jnp.stack([jnp.asarray(0.0, dtype), Ydes, vdes,
                           jnp.asarray(0.0, dtype)])
 
-        carry, res = mpc_step(world.mpc_carry, x, z, xRef, pp)
-        u_ego = res.uPred[0]
-        x_new = euler(x, u_ego)
-        z_new = euler(z, u_obs)
+        aux = _PreAux(ego_lane=ego_lane, obs_lane=obs_lane, obs_des_y=obs_des_y,
+                      lc_target=lc_target, u_obs=u_obs)
+        return xRef, aux
+
+    def post(world: WorldState, aux: _PreAux, new_carry, u_ego, feasible):
+        x_new = euler(world.x, u_ego)
+        z_new = euler(world.z, aux.u_obs)
         dis = jnp.maximum(
             jnp.abs(x_new[0] - z_new[0]) - 4.0,
             jnp.abs(x_new[1] - z_new[1]) - 2.4,
         )
         collided = jnp.logical_or(world.collided, dis < 0)
         new_world = WorldState(
-            mpc_carry=carry, x=x_new, z=z_new, ego_lane=ego_lane,
-            obs_lane=obs_lane, obs_des_y=obs_des_y, lc_target=lc_target,
-            collided=collided,
+            mpc_carry=new_carry, x=x_new, z=z_new, ego_lane=aux.ego_lane,
+            obs_lane=aux.obs_lane, obs_des_y=aux.obs_des_y,
+            lc_target=aux.lc_target, collided=collided,
         )
-        out = {"x": x_new, "z": z_new, "u": u_ego, "feasible": res.feasible}
+        out = {"x": x_new, "z": z_new, "u": u_ego, "feasible": feasible}
         return new_world, out
 
-    def init_world(key):
-        c = init_carry(dtype)
+    def init_world(key, mpc_carry):
         x0 = jnp.asarray([0., 1.8, V0, 0.], dtype)
         z0 = jnp.asarray([12., 5.4, 17., 0.], dtype) + jax.random.normal(key, (4,), dtype) * jnp.asarray([2., 0.1, 0.5, 0.], dtype)
         return WorldState(
-            mpc_carry=c, x=x0, z=z0,
+            mpc_carry=mpc_carry, x=x0, z=z0,
             ego_lane=jnp.asarray(0, jnp.int32), obs_lane=jnp.asarray(1, jnp.int32),
             obs_des_y=z0[1], lc_target=jnp.asarray([0.5, 1.8, 15.0, 0.], dtype),
             collided=jnp.asarray(False),
         )
 
+    return _EnvLogic(mk_policy_params=mk_policy_params, pre=pre, post=post,
+                     init_world=init_world)
+
+
+def make_batched_overtake(
+    cons,
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    variant: str = "prox",
+    admm: ADMMConfig = ADMMConfig(),
+    N_lane: int = 4,
+    dtype=jnp.float32,
+    solver: str = "ipm",
+    ipm: QPIPMConfig = QPIPMConfig(),
+):
+    """Returns (topo, init_worlds(B, key), episode(worlds, key, n_steps)).
+
+    Per-world controller under ``jax.vmap``: ``solver="ipm"`` (default, the
+    vmapped twin of the fused path — layout-parity baseline) or ``"admm"``
+    for OSQP-equivalent numerics via the ``admm`` config."""
+    topo, init_carry, mpc_step = make_branch_mpc_step(
+        model, params, variant, admm, solver=solver, ipm=ipm)
+    logic = _make_env_logic(cons, model, N_lane, dtype)
+
+    def env_step(world: WorldState, inp):
+        key, t = inp
+        xRef, aux = logic.pre(world, key, t)
+        pp = logic.mk_policy_params(aux.lc_target)
+        carry, res = mpc_step(world.mpc_carry, world.x, world.z, xRef, pp)
+        return logic.post(world, aux, carry, res.uPred[0], res.feasible)
+
     def init_worlds(B, key):
-        return jax.vmap(init_world)(jax.random.split(key, B))
+        c = init_carry(dtype)
+        return jax.vmap(lambda k: logic.init_world(k, c))(
+            jax.random.split(key, B))
 
     def episode(worlds, key, n_steps: int):
         """Run a full closed-loop episode for every world in one program."""
@@ -189,5 +247,72 @@ def make_batched_overtake(
 
         B = worlds.x.shape[0]
         return jax.vmap(one)(worlds, jax.random.split(key, B))
+
+    return topo, init_worlds, episode
+
+
+def make_batched_overtake_fused(
+    cons,
+    model: PredictiveModel,
+    params: BranchMPCParams,
+    variant: str = "prox",
+    ipm: QPIPMConfig = QPIPMConfig(),
+    backend: str = "pl",
+    backend_opts=None,
+    N_lane: int = 4,
+    dtype=jnp.float32,
+    **step_kwargs,
+):
+    """Batch-last fused-IPM coupling: ONE controller call per env step for the
+    whole world batch (the Pallas fused-iteration kernel on TPU), per-world
+    lane-change targets as runtime data via ``policy_in_axes``.
+
+    Same env semantics and per-world key chains as
+    :func:`make_batched_overtake`; trajectories agree with the vmapped-IPM
+    coupling to solver/layout precision. ``step_kwargs`` forward to
+    ``make_branch_mpc_batched_step`` (``prep_dtype``, ``refine_f64``, ...).
+
+    Returns (topo, init_worlds(B, key), episode(worlds, key, n_steps))."""
+    policy_axes = (
+        pol.MaintainParams(Kpsi=None, psiref=None),
+        pol.BrakeParams(Kpsi=None, a_brake=None, gamma=None, psiref=None),
+        pol.LaneChangeParams(x_target=0),
+    )
+    topo, init_carry, bstep = make_branch_mpc_batched_step(
+        model, params, variant, ipm=ipm, backend=backend,
+        backend_opts=backend_opts, policy_in_axes=policy_axes, **step_kwargs)
+    logic = _make_env_logic(cons, model, N_lane, dtype)
+
+    def init_worlds(B, key):
+        c = init_carry(dtype)
+        cs = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+        ws = jax.vmap(lambda k: logic.init_world(k, None))(
+            jax.random.split(key, B))
+        return ws._replace(mpc_carry=cs)
+
+    def episode(worlds, key, n_steps: int):
+        """Whole-batch closed loop: outer scan over time, one fused controller
+        call per step. Output leaves are (B, n_steps, ...) like the vmapped
+        episode."""
+        B = worlds.x.shape[0]
+        keys_b = jax.random.split(key, B)
+        # per-world key chains identical to the vmapped episode's
+        keys_tb = jnp.swapaxes(
+            jax.vmap(lambda k: jax.random.split(k, n_steps))(keys_b), 0, 1)
+        ts = jnp.arange(n_steps)
+
+        def step_t(worlds, inp):
+            keys, t = inp
+            xRefs, aux = jax.vmap(logic.pre, in_axes=(0, 0, None))(
+                worlds, keys, t)
+            pp = logic.mk_policy_params(aux.lc_target)   # x_target: (B, 4)
+            carrys, res = bstep(worlds.mpc_carry, worlds.x, worlds.z,
+                                xRefs, pp)
+            return jax.vmap(logic.post)(worlds, aux, carrys,
+                                        res.uPred[:, 0], res.feasible)
+
+        worlds, traj = jax.lax.scan(step_t, worlds, (keys_tb, ts))
+        traj = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), traj)
+        return worlds, traj
 
     return topo, init_worlds, episode

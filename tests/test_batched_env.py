@@ -43,3 +43,38 @@ def test_batched_overtake_episode():
     assert np.any(
         np.asarray(worlds2.obs_des_y) != np.asarray(worlds.obs_des_y)
     )
+
+
+def test_fused_episode_matches_vmapped_ipm():
+    """The batch-last fused-IPM coupling (one controller call per step for the
+    whole world batch, per-world lane-change targets via policy_in_axes) must
+    reproduce the vmapped-IPM episode to solver/layout precision (f64)."""
+    from belief_planning_tpu.envs.batched_highway import (
+        make_batched_overtake_fused,
+    )
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    cons = BranchConstants()
+    xt = np.array([0.5, 1.8, 15.0, 0.0])
+    pset = highway_policy_set(cons, xt)
+    model = highway_model(cons, pset, N=3, dt=0.1)
+    params = init_branch_mpc(4, 2, 3, 1, xt, am=6.0, rm=0.3, N_lane=4, W=cons.W)
+    ipm = QPIPMConfig(iters=20)
+
+    _, iw_v, ep_v = make_batched_overtake(
+        cons, model, params, "prox", solver="ipm", ipm=ipm, dtype=jnp.float64)
+    _, iw_f, ep_f = make_batched_overtake_fused(
+        cons, model, params, "prox", ipm=ipm, backend="pl_xla",
+        dtype=jnp.float64)
+
+    B, T = 4, 6
+    w_v = iw_v(B, jax.random.key(0))
+    w_f = iw_f(B, jax.random.key(0))
+    assert np.allclose(np.asarray(w_v.x), np.asarray(w_f.x))
+    _, tv = jax.jit(ep_v, static_argnums=2)(w_v, jax.random.key(1), T)
+    _, tf = jax.jit(ep_f, static_argnums=2)(w_f, jax.random.key(1), T)
+
+    for k in ("u", "x", "z"):
+        assert tf[k].shape == tv[k].shape
+        assert np.allclose(np.asarray(tv[k]), np.asarray(tf[k]),
+                           atol=1e-6), k
