@@ -160,3 +160,56 @@ def make_sharded_cvar_ensemble_step(model, params, mesh: Mesh, ralpha=0.9,
     init_batched, sharded = _shard_ensemble(
         mesh, init_carry, bstep, lambda r: r.gap < 1.0, lambda r: r.gap)
     return topo, init_batched, sharded
+
+
+def make_sharded_overtake_episode(cons, model, params, mesh: Mesh,
+                                  variant="prox", ipm=None, backend="pl_xla",
+                                  backend_opts=None, N_lane=4,
+                                  dtype=jnp.float32):
+    """Mesh-sharded closed-loop EPISODES: the fully-jitted batched overtake env
+    + fused-IPM controller (``envs/batched_highway.make_batched_overtake_fused``)
+    sharded over every mesh axis — whole receding-horizon episodes run
+    device-local (worlds are independent; zero per-step communication), with
+    end-of-episode ensemble metrics reduced over ICI.
+
+    Each shard folds its mesh position into the episode key, so worlds on
+    different devices draw independent obstacle-intent streams.
+
+    Returns (topo, init_worlds(B, key), episode_sharded(worlds, key, n_steps)
+    → (worlds, traj, metrics)); B must divide by the mesh size."""
+    from belief_planning_tpu.envs.batched_highway import (
+        make_batched_overtake_fused,
+    )
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    ipm = ipm if ipm is not None else QPIPMConfig(iters=8, gondzio=2)
+    topo, init_worlds, episode = make_batched_overtake_fused(
+        cons, model, params, variant, ipm=ipm, backend=backend,
+        backend_opts=backend_opts, N_lane=N_lane, dtype=dtype)
+    axes = mesh.axis_names
+
+    def _episode_local(worlds, key, n_steps):
+        idx = jnp.asarray(0, jnp.int32)
+        for ax in axes:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        worlds, traj = episode(worlds, jax.random.fold_in(key, idx), n_steps)
+        feas = jnp.sum(traj["feasible"].astype(jnp.float32))
+        count = jnp.asarray(np.prod(traj["feasible"].shape), jnp.float32)
+        coll = jnp.sum(worlds.collided.astype(jnp.float32))
+        for ax in axes:
+            feas = jax.lax.psum(feas, ax)
+            count = jax.lax.psum(count, ax)
+            coll = jax.lax.psum(coll, ax)
+        metrics = {"feasible_frac": feas / count, "collided": coll}
+        return worlds, traj, metrics
+
+    spec, repl = P(axes), P()
+
+    def episode_sharded(worlds, key, n_steps: int):
+        f = jax.shard_map(
+            partial(_episode_local, n_steps=n_steps), mesh=mesh,
+            in_specs=(spec, repl), out_specs=(spec, spec, repl),
+            check_vma=False)
+        return jax.jit(f)(worlds, key)
+
+    return topo, init_worlds, episode_sharded

@@ -147,3 +147,36 @@ def test_tree_kkt_branch_sharded_matches_unsharded(mesh_shape):
         [b.reshape(-1, d, T) for b in du_l], axis=0)
     assert np.abs(np.asarray(dx_sh) - np.asarray(dx_ref)).max() < 1e-11
     assert np.abs(np.asarray(du_sh) - np.asarray(du_ref)).max() < 1e-11
+
+
+def test_sharded_episode_runs_and_reduces():
+    """Mesh-sharded closed-loop episodes: device-local worlds, psum'd
+    end-of-episode metrics, per-shard independent key streams."""
+    from belief_planning_tpu.parallel.ensemble import (
+        make_sharded_overtake_episode,
+    )
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    cons = BranchConstants()
+    xt = np.array([0.5, 1.8, 15.0, 0.0])
+    pset = highway_policy_set(cons, xt)
+    model = highway_model(cons, pset, N=3, dt=0.1)
+    params = init_branch_mpc(4, 2, 3, 1, xt, am=6.0, rm=0.3, N_lane=4,
+                             W=cons.W)
+    mesh = make_mesh((4, 2), ("dp", "mp"))
+    topo, init_worlds, ep = make_sharded_overtake_episode(
+        cons, model, params, mesh, ipm=QPIPMConfig(iters=12),
+        backend="pl_xla", dtype=jnp.float32)
+
+    B, T = 16, 5
+    worlds = init_worlds(B, jax.random.key(0))
+    worlds2, traj, metrics = ep(worlds, jax.random.key(1), T)
+    assert traj["u"].shape == (B, T, 2)
+    assert np.abs(np.asarray(traj["u"][..., 0])).max() <= 6.0 + 1e-3
+    feas = np.asarray(traj["feasible"], np.float32).mean()
+    assert np.isclose(float(metrics["feasible_frac"]), feas, atol=1e-6)
+    assert float(metrics["collided"]) == np.asarray(
+        worlds2.collided, np.float32).sum()
+    # per-shard key folding: obstacle streams differ across shards
+    z_end = np.asarray(worlds2.z[:, 1]).reshape(8, 2)
+    assert len(np.unique(np.round(z_end, 6))) > 1
