@@ -95,12 +95,15 @@ def _make_env_logic(cons, model: PredictiveModel, N_lane: int, dtype) -> _EnvLog
             pol.LaneChangeParams(x_target=lc_target),
         )
 
-    def sim_policy_u(idx, zst):
+    def sim_policy_u(idx, zst, lc_target):
+        """Numeric-path backup policies (reference ``backupcons``: maintain /
+        brake / lane-change toward the EGO's current retarget — the lc entry
+        tracks ``xRef_lc``, not the obstacle's own desired lane,
+        ``Highway_env_branch.py:117,149``)."""
         us = jnp.stack([
             pol.maintain(zst, pol.MaintainParams(Kpsi=cons.Kpsi)),
             pol.brake(zst, brake_sim),
-            pol.lane_change(zst, pol.LaneChangeParams(
-                x_target=jnp.array([0., 0., V0, 0.], dtype))),
+            pol.lane_change(zst, pol.LaneChangeParams(x_target=lc_target)),
         ])
         return us[idx]
 
@@ -137,7 +140,10 @@ def _make_env_logic(cons, model: PredictiveModel, N_lane: int, dtype) -> _EnvLog
         lc_target = jnp.where(obs_changed, new_lc, world.lc_target)
         pp = mk_policy_params(lc_target)
 
-        # obstacle random lane intent every 10 steps w.p. 0.5 (:121-133)
+        # obstacle random lane intent every 10 steps w.p. 0.5 (:121-133).
+        # NOTE: like the reference, ``desired_x`` is vestigial in the branch
+        # env — the obstacle's APPLIED input is always its argmax-safety
+        # backup (:145-149); the intent state is recorded but never drives it.
         k1, k2 = jax.random.split(key)
         do_lc = jnp.logical_and(t % 10 == 0, jax.random.uniform(k1) <= 0.5)
         left = jax.random.uniform(k2) <= 0.5
@@ -155,15 +161,7 @@ def _make_env_logic(cons, model: PredictiveModel, N_lane: int, dtype) -> _EnvLog
         hlane = lane_bdry_h(x1, LBsel[0], LBsel[1])  # (N,)
         hi = jnp.minimum(jnp.min(hcol, axis=1), jnp.min(hlane))
         obs_idx = jnp.argmax(hi)
-        # the obstacle tracks its desired lane via the lane-change policy when
-        # it wants to change lanes; otherwise its chosen backup
-        z_tgt = jnp.stack([jnp.asarray(0.0, dtype), obs_des_y,
-                           jnp.asarray(V0, dtype), jnp.asarray(0.0, dtype)])
-        u_obs = jnp.where(
-            jnp.abs(obs_des_y - z[1]) > 0.2,
-            pol.lane_change(z, pol.LaneChangeParams(x_target=z_tgt)),
-            sim_policy_u(obs_idx, z),
-        )
+        u_obs = sim_policy_u(obs_idx, z, lc_target)
 
         # overtake xRef (:151-167)
         Ydes = jnp.where(x[0] < z[0], 1.8 + LANE_W * ego_lane.astype(dtype), z[1])

@@ -156,7 +156,11 @@ class HighwayMergeEnv:
         if self.laneID[0] == 0:
             S = np.eye(4)
             xRef = np.array([0., (self.N_lane - 0.5) * 3.6, V0, 0.])
-            bx = None
+            # the reference passes the DEFAULT bx explicitly post-switch
+            # (Highway_env_branch.py:352) — passing None instead would leave a
+            # keep-last-bx solver (oracle; reference ``if not bx is None``
+            # semantics, MPC_branch.py:2058) on the stale ramp-frame bx
+            bx = np.asarray(self.mpc.params.bx, float).ravel()
         else:
             y0 = float(self.refY(x[0]))
             psi0 = float(self.refpsi(x[0]))

@@ -31,7 +31,12 @@ as plain XLA. Perf history at B=2048: vmap IPM-30 1.6k → IPM-20 2.33k →
 split-row IPM 3.72k → near-feasible-start IPM-12 4.64k → Pallas kernel 21.9k.
 Batch/tile sweep (2026-08-18): B=2048/tile 256 → 27.2k, B=4096/tile 128 →
 32.6k, B=32768/tile 128 → 37-40.6k (the default; run-to-run variance through
-the tunneled chip is ±30%, so expect 24-41k).
+the tunneled chip is ±30%, so expect 24-41k). Interleaved A/B 2026-08-21 at
+B=32768: tile 256 = tile 128 within noise (15.0k vs 15.4k under heavy host
+CPU load — which also shows the variance mechanism: tunnel throughput tracks
+host load, collapsing ~2× when the host is busy; kernel-side changes cannot
+move the number under contention). tile 512 compiles pathologically slowly
+(>15 min, killed).
 """
 
 import json
