@@ -78,3 +78,82 @@ def test_fused_episode_matches_vmapped_ipm():
         assert tf[k].shape == tv[k].shape
         assert np.allclose(np.asarray(tv[k]), np.asarray(tf[k]),
                            atol=1e-6), k
+
+
+def test_batched_merge_matches_host_env():
+    """The fully-jitted batched merge episode must reproduce the host
+    HighwayMergeEnv step-for-step (the merge step is deterministic): same
+    controller config, same initial states, ego/obstacle trajectories equal
+    to solver/layout precision (f64)."""
+    from belief_planning_tpu.controllers.cvar_mpc import BranchMPCCVaR
+    from belief_planning_tpu.envs.batched_merge import make_batched_merge_fused
+    from belief_planning_tpu.envs.merge import HighwayMergeEnv, merge_ref_lines
+    from belief_planning_tpu.models.policies import merge_policy_set
+    from belief_planning_tpu.models.predictive import merge_model
+    from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig
+
+    N, NB = 4, 1
+    cons = BranchConstants(am=7.0)
+    N_lane, merge_lane, merge_s, merge_R, merge_side = 2, 1, 50, 300, 0
+    refY, refpsi = merge_ref_lines(N_lane, merge_lane, merge_s, merge_R,
+                                   merge_side)
+    pset_normal = merge_policy_set(cons, 20.0, None)
+    pset_merge = merge_policy_set(cons, 20.0, refpsi)
+    model_normal = merge_model(cons, pset_normal, N=N, dt=0.1)
+    model_merge = merge_model(cons, pset_merge, N=N, dt=0.1)
+    params = init_branch_mpc(4, 2, N, NB, np.array([0.5, 1.8, 15.0, 0.0]),
+                             am=7.0, rm=0.3, N_lane=N_lane, W=cons.W)
+    ipm = CVaRIPMConfig(iters=40)
+
+    # host env driving the per-lane controller
+    mpc = BranchMPCCVaR(params, model_normal, pset_normal.params, ralpha=0.1,
+                        ipm=ipm, use_S=True, dtype=jnp.float64)
+    env = HighwayMergeEnv(
+        NV=2, N_lane=N_lane, mpc=mpc, models=[model_normal, model_merge],
+        policy_param_sets=[pset_normal.params, pset_merge.params],
+        merge_lane=merge_lane, merge_s=merge_s, merge_R=merge_R,
+        merge_side=merge_side, dt=0.1, cons=cons,
+    )
+    x0 = np.stack([env.veh_set[0].state.copy(), env.veh_set[1].state.copy()])
+
+    T = 5
+    host_x, host_u = [], []
+    for t in range(T):
+        u_set, x_set, *_ = env.step(t)
+        host_u.append(np.asarray(u_set[0]))
+        host_x.append(np.asarray(x_set[0]))
+
+    # batched episode pinned to the same initial states. B=1: the cold
+    # ramp-S merge solve sits at a Mehrotra-jam knife edge (cvar_ipm.py
+    # docstring) where even the batch SHAPE perturbs iterates at 1e-15
+    # (XLA einsum reassociation) and the jam bifurcation amplifies it —
+    # measured: B=1 vs B=2 world-0 u differs up to 1.3e-3 while both stay
+    # within the 1e-3-scale closed-loop gate vs the host. So the host
+    # fixture is compared at B=1 (measured max 1.8e-4 over 5 steps) at the
+    # BASELINE closed-loop tolerance, and per-lane S/bx diversity is
+    # exercised by a separate B=2 run.
+    _, init_worlds, episode = make_batched_merge_fused(
+        cons, model_normal, params, pset_normal.params, ralpha=0.1, ipm=ipm,
+        use_pallas=False, N_lane=N_lane, merge_lane=merge_lane,
+        merge_s=merge_s, merge_R=merge_R, merge_side=merge_side,
+        dtype=jnp.float64)
+    worlds = init_worlds(1, jax.random.key(0), x0=x0[0:1], z0=x0[1:2])
+    worlds2, traj = jax.jit(episode, static_argnums=1)(worlds, T)
+
+    bx = np.asarray(traj["x"][0])
+    bu = np.asarray(traj["u"][0])
+    assert np.allclose(bu, np.stack(host_u), atol=1e-3), (
+        np.abs(bu - np.stack(host_u)).max())
+    assert np.allclose(bx, np.stack(host_x), atol=1e-3), (
+        np.abs(bx - np.stack(host_x)).max())
+
+    # B=2 with a shifted second world: different ramp-frame S/bx per lane,
+    # both finite and world 0 still at the closed-loop-gate scale
+    xs0 = np.stack([x0[0], x0[0] + np.array([3.0, -0.4, 0.0, 0.0])])
+    zs0 = np.stack([x0[1], x0[1]])
+    worlds_b = init_worlds(2, jax.random.key(0), x0=xs0, z0=zs0)
+    _, traj_b = jax.jit(episode, static_argnums=1)(worlds_b, T)
+    assert np.all(np.isfinite(np.asarray(traj_b["x"])))
+    assert np.allclose(np.asarray(traj_b["u"][0]), np.stack(host_u),
+                       atol=3e-3), (
+        np.abs(np.asarray(traj_b["u"][0]) - np.stack(host_u)).max())
