@@ -395,7 +395,14 @@ class OracleCVaRController:
         else:
             sol = solve_socp(qv, self.F, self.b, self.dims, self.G, geq, **solver_kw)
         self.solution = sol
-        self.feasible = 1 if sol.status == "optimal" else 0
+        # ECOS semantics (MPC_branch.py:2141): exitFlag >= 0 counts as
+        # feasible, which includes "close to optimal" (ECOS_INACC, flag 10)
+        # — a max_iter exit whose final iterate is near-converged. Mirror
+        # that: accept the final iterate when the duality gap is small even
+        # if the strict optimal test (residuals + gap < tol) didn't fire,
+        # instead of silently keeping the PREVIOUS uPred.
+        close = sol.status == "optimal" or float(sol.gap) < 1e-5
+        self.feasible = 1 if close else 0
         if self.feasible:
             n, d = self.n, self.d
             self.xPred = sol.v[: self.totalx * n].reshape(-1, n)

@@ -174,6 +174,19 @@ class _DualSolveMPC:
         self.psimax = mpc.psimax
 
     def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None):
+        # Teacher-force the WARM START too, not just the states: hand the
+        # engine the oracle's previous solution as its linearization
+        # trajectory before each warm solve. Warm merge trees self-diverge
+        # otherwise — the dh[0] magnitude floor (sign(dh0)*max(0.1,|dh0|))
+        # flips by 0.2 when dh[0] crosses zero, so two solvers whose previous
+        # solutions differ by 1e-5 can re-linearize onto programs whose
+        # optima differ by ~6e-2 (measured: both sides at converged gaps,
+        # t=1 err 6.7e-2 without warm forcing, cold t=0 err 1.5e-5). With a
+        # shared linearization both solve the SAME program and the gate
+        # measures solver parity, which is what BASELINE.md's 1e-3 means.
+        prev_u = (None if self._oracle.uPred is None
+                  else np.asarray(self._oracle.uPred).copy())
+        prev_old = np.asarray(self._oracle.OldInput).copy() if prev_u is not None else None
         # post-lane-switch warm solves start from a tree built under the other
         # geometry; the oracle's dense IPM needs extra headroom there (at the
         # default 100 iterations it returned status=max_iter at gap 4e-11 and
@@ -181,8 +194,19 @@ class _DualSolveMPC:
         # oracle outputs)
         u_o = self._oracle.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx,
                                  tol=1e-8, max_iter=300)
-        assert self._oracle.solution.status == "optimal", (
-            f"oracle failed to converge: {self._oracle.solution.status}")
+        # feasible = optimal OR near-converged final iterate (the ECOS
+        # exitFlag>=0 / "close to optimal" semantics, MPC_branch.py:2141);
+        # guards against gating the engine on a stale oracle uPred
+        assert self._oracle.feasible, (
+            f"oracle failed: {self._oracle.solution.status} "
+            f"gap={self._oracle.solution.gap:.2e}")
+        if prev_u is not None:
+            import jax.numpy as jnp
+            c = self._mpc.carry
+            self._mpc.carry = c._replace(
+                u_lin=jnp.asarray(prev_u, c.u_lin.dtype),
+                old_input=jnp.asarray(prev_old, c.old_input.dtype),
+            )
         u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
         self.gaps.append(float(np.asarray(self._mpc.last.gap).ravel()[0]))
