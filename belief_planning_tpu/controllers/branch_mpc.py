@@ -202,7 +202,7 @@ def make_branch_mpc_batched_step(
     replicate_quirks: bool = True,
     feas_tol: float = 1e-3,
     ipm: QPIPMConfig = QPIPMConfig(),
-    backend: str = "bl",
+    backend: str = "pl_xla",
     backend_opts: Optional[dict] = None,
     prep_dtype=None,
     refine_f64: int = 0,
@@ -240,29 +240,21 @@ def make_branch_mpc_batched_step(
     cold-start settings with ``iters=refine_f64``; 10 warm iterations reach
     8e-5 on the demo overtake where cold f64 needs 12 for equivalent error).
 
-    ``backend`` selects the solver layout: ``"bl"`` = scan-based batch-last
-    IPM (``tree_qp_bl``), ``"pl_xla"`` = level-blocked fused iteration as
-    plain XLA, ``"pl"`` = the same iteration as one Pallas TPU kernel
-    (``tree_qp_pl``).
+    ``backend`` selects how the level-blocked fused IPM iteration runs:
+    ``"pl"`` = one Pallas TPU kernel (``tree_qp_pl``), ``"pl_xla"`` = the same
+    iteration as plain XLA (portable; CPU tests and the f64 refine phase).
 
     The returned ``step(carrys, xs, zs, xRefs, policy_params)`` takes
     batch-LEADING pytrees (same as ``jax.vmap`` of the per-lane step) but runs
     the solver iterations in batch-LAST layout — lanes of the TPU vector unit
     hold the batch, and the tiny (n, n)/(d, d) matrix dims sit in the cheap
-    major axes (see ``solvers/tree_qp_bl``). Tree build + cost assembly stay
+    major axes (see ``solvers/layout``). Tree build + cost assembly stay
     vmapped (they are a small, one-off share of the step). Numerically
     identical to the vmapped step to solver precision
-    (tests/test_tree_qp_bl.py)."""
-    from belief_planning_tpu.solvers.tree_qp_bl import (
-        _from_bl,
-        _to_bl,
-        cost_to_bl,
-        qp_ipm_solve_bl,
-    )
+    (tests/test_tree_qp_pl.py)."""
+    from belief_planning_tpu.solvers.layout import _from_bl, _to_bl, cost_to_bl
 
-    if backend == "bl":
-        solve_bl = qp_ipm_solve_bl
-    elif backend in ("pl", "pl_xla"):
+    if backend in ("pl", "pl_xla"):
         from belief_planning_tpu.solvers.tree_qp_pl import qp_ipm_solve_pl
 
         solve_bl = partial(qp_ipm_solve_pl, use_pallas=(backend == "pl"),

@@ -125,7 +125,7 @@ def make_cvar_mpc_batched_step(
     and runtime ``bx`` (B, nFx) ride the same kernel as per-lane constants
     (reference merge path, ``MPC_branch.py:2043-2059``)."""
     from belief_planning_tpu.solvers.cvar_pl import cvar_ipm_solve_pl
-    from belief_planning_tpu.solvers.tree_qp_bl import _from_bl, _to_bl
+    from belief_planning_tpu.solvers.layout import _from_bl, _to_bl
 
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
     cplan = build_cvar_plan(topo, replicate_quirks=replicate_quirks)

@@ -137,6 +137,11 @@ def make_batched_merge_fused(
         (``Highway_env_branch.py:305``): along-track jitter, y/psi from the
         ref-line tables so every world starts ON the ramp. Pass ``x0``/``z0``
         (B, 4) to pin exact states (e.g. the host-env fixture)."""
+        if (x0 is None) != (z0 is None):
+            raise ValueError(
+                "init_worlds: pass both x0 and z0 (or neither) — got "
+                f"x0={'set' if x0 is not None else None}, "
+                f"z0={'set' if z0 is not None else None}")
         c = init_carry(dtype)
         cs = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
         if x0 is None:
@@ -160,20 +165,28 @@ def make_batched_merge_fused(
             collided=jnp.zeros((jnp.asarray(x0).shape[0],), bool),
         )
 
+    def step_once(worlds):
+        """One whole-batch env step: laneID/S/bx prep → fused CVaR solve →
+        Euler world update. Exposed (``episode.step_once``) so tests can
+        teacher-force world states between steps and pin the env data
+        plumbing per-step against the host env."""
+        merged, S, xRef, bx = jax.vmap(env_pre)(worlds)
+        carrys, res = bstep(worlds.mpc_carry, worlds.x, worlds.z, xRef,
+                            pset_params, S=S, bx=bx)
+        new_worlds, out = jax.vmap(env_post)(worlds, merged, carrys,
+                                             res.uPred[:, 0])
+        out["gap"] = res.gap
+        return new_worlds, out
+
     def episode(worlds, n_steps: int):
         """Deterministic closed loop: outer scan over time, one fused CVaR
         call per step for the whole batch. Output leaves (B, n_steps, ...)."""
         def step_t(worlds, _):
-            merged, S, xRef, bx = jax.vmap(env_pre)(worlds)
-            carrys, res = bstep(worlds.mpc_carry, worlds.x, worlds.z, xRef,
-                                pset_params, S=S, bx=bx)
-            new_worlds, out = jax.vmap(env_post)(worlds, merged, carrys,
-                                                 res.uPred[:, 0])
-            out["gap"] = res.gap
-            return new_worlds, out
+            return step_once(worlds)
 
         worlds, traj = jax.lax.scan(step_t, worlds, jnp.arange(n_steps))
         traj = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), traj)
         return worlds, traj
 
+    episode.step_once = step_once
     return topo, init_worlds, episode

@@ -30,6 +30,11 @@ class QCQPSolution:
     iterations: int
     status: str
     gap: float
+    # final-iterate residuals (inf-norm, normalized like the convergence
+    # test) so callers can judge a ``max_iter`` exit on more than the
+    # complementarity gap alone
+    prim_res: float = np.inf
+    dual_res: float = np.inf
 
 
 def solve_qcqp(
@@ -163,7 +168,19 @@ def solve_qcqp(
             s_q += alpha * dsq
             lam_q += alpha * dlq
 
-    return QCQPSolution(v, y, lam_lin, lam_q, it, status, gap)
+    # recompute residuals at the returned iterate (the in-loop values are
+    # stale by one step on a max_iter exit)
+    Gq = qgrad(v)
+    r_dual = P0 @ v + q0 + G.T @ y + A.T @ lam_lin + (Gq.T @ lam_q if K else 0.0)
+    prim = max(
+        np.linalg.norm(G @ v - g, np.inf) / (1 + np.linalg.norm(g, np.inf) + 1) if me else 0.0,
+        np.linalg.norm(np.maximum(A @ v - b, 0.0), np.inf) / (1 + np.linalg.norm(b, np.inf)) if mi else 0.0,
+        np.linalg.norm(np.maximum(qval(v), 0.0), np.inf) / 10.0 if K else 0.0,
+    )
+    dual = np.linalg.norm(r_dual, np.inf) / (1 + np.linalg.norm(q0, np.inf))
+    gap = float((np.dot(s_lin, lam_lin) + np.dot(s_q, lam_q)) / max(mtot, 1))
+    return QCQPSolution(v, y, lam_lin, lam_q, it, status, gap,
+                        prim_res=float(prim), dual_res=float(dual))
 
 
 def soc_rows_to_quad(F1: np.ndarray, F2: np.ndarray, b1: float):

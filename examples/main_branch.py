@@ -47,7 +47,7 @@ def sim_overtake(T=10.0, animate=False, seed=0):
     return recs
 
 
-def sim_merge(T=6.0, seed=0):
+def sim_merge(T=6.0, seed=0, animate=False):
     import jax.numpy as jnp
 
     from belief_planning_tpu.controllers.cvar_mpc import BranchMPCCVaR
@@ -78,12 +78,16 @@ def sim_merge(T=6.0, seed=0):
         merge_lane=merge_lane, merge_s=merge_s, merge_R=merge_R,
         merge_side=merge_side, dt=dt, cons=cons, seed=seed,
     )
-    steps = int(round(T / dt))
-    for t in range(steps):
-        env.step(t)
-    print(f"merge: {steps} steps, final ego X={env.veh_set[0].state[0]:.1f} m, "
-          f"laneID={env.laneID[0]}")
-    return env
+    from belief_planning_tpu.envs.highway import highway_sim
+
+    recs = highway_sim(env, T)          # merge env has the same step/recorder API
+    state_rec, *_ , collision = recs
+    print(f"merge: {state_rec.shape[1]} steps, collision={collision}, "
+          f"final ego X={env.veh_set[0].state[0]:.1f} m, laneID={env.laneID[0]}")
+    if animate:
+        from belief_planning_tpu.envs.viz import animate_merge
+        animate_merge(env, state_rec, recs[4], recs[5], output="merge.mp4")
+    return recs
 
 
 if __name__ == "__main__":

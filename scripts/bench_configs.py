@@ -40,8 +40,24 @@ def _timed(vstep, carrys, args, iters):
     return float(np.median(times)), res
 
 
+def _pct(a, qs=(50, 90, 100)):
+    a = np.asarray(a, np.float64).ravel()
+    return {f"p{q}": round(float(np.percentile(a, q)), 8) for q in qs}
+
+
 def bench_merge():
+    """Merge-config CVaR bench + ACCURACY columns (VERDICT r3 item 3): the
+    throughput row is the f32 fused kernel; with BENCH_ACC=1 (default) a
+    Bacc-lane probe reports u0-error vs the full-f64 solver and gap
+    percentiles for both the plain f32 kernel and f32+refine_f64 — the CVaR
+    mirror of the QP path's PARITY.md refine story — plus the refine-mode
+    p50 latency at the probe batch."""
     import jax
+
+    acc = os.environ.get("BENCH_ACC", "1") != "0"
+    if acc:
+        jax.config.update("jax_enable_x64", True)
+
     import jax.numpy as jnp
 
     from belief_planning_tpu.controllers.cvar_mpc import make_cvar_mpc_batched_step
@@ -101,14 +117,64 @@ def bench_merge():
     dt_wall, res = _timed(vstep, carrys, (xs, zs, xRefs, pset.params, S, bx),
                           int(os.environ.get("BENCH_ITERS", "5")))
     sps = B / dt_wall
-    print(json.dumps({
+    out = {
         "metric": "merge_cvar_solves_per_sec_per_chip",
         "config": {"N": N, "NB": NB, "ralpha": 0.1, "use_S": True, "B": B,
                    "iters": ipm.iters, "gondzio": ipm.gondzio,
                    "backend": backend},
         "value": round(sps, 1), "unit": "solves/s",
         "vs_baseline": round(sps / BASELINE_PER_CHIP, 3),
-    }), flush=True)
+    }
+
+    if acc:
+        Bacc = int(os.environ.get("BENCH_ACC_BATCH", "256"))
+        k_ref = int(os.environ.get("BENCH_REFINE", "8"))
+        f64 = jnp.float64
+        xs_a, zs_a = jnp.asarray(xs[:Bacc], f64), jnp.asarray(zs[:Bacc], f64)
+        xR_a, S_a = jnp.asarray(xRefs[:Bacc], f64), jnp.asarray(S[:Bacc], f64)
+        bx_a = jnp.asarray(bx[:Bacc], f64)
+        args_a = (xs_a, zs_a, xR_a, pset.params, S_a, bx_a)
+
+        def cold(init, dtype):
+            c = init(dtype)
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (Bacc,) + a.shape), c)
+
+        # plain f32 kernel, cold, on the probe subset (`carrys` is still the
+        # cold broadcast carry — _timed rebinds only its local)
+        _, res32 = jax.jit(step)(
+            jax.tree.map(lambda a: a[:Bacc], carrys),
+            xs[:Bacc], zs[:Bacc], xRefs[:Bacc], pset.params, S[:Bacc],
+            bx[:Bacc])
+        # f32 + f64 barrier-restart refine (parity-grade on-chip mode)
+        _, _, init_r, step_r = make_cvar_mpc_batched_step(
+            model, params, ralpha=0.1, ipm=ipm, use_pallas=(backend == "pl"),
+            tile_b=int(os.environ.get("BENCH_TILE_B", "128")), use_S=True,
+            refine_f64=k_ref, solve_dtype=jnp.float32)
+        vstep_r = jax.jit(step_r)
+        lat_r, res_r = _timed(vstep_r, cold(init_r, f64), args_a, 3)
+        # full-f64 reference solver (XLA twin; TPU-emulated f64)
+        _, _, init_64, step_64 = make_cvar_mpc_batched_step(
+            model, params, ralpha=0.1,
+            ipm=CVaRIPMConfig(iters=int(os.environ.get("BENCH_F64_ITERS",
+                                                       "40")), gondzio=2),
+            use_pallas=False, use_S=True)
+        _, res64 = jax.jit(step_64)(cold(init_64, f64), *args_a)
+
+        u32 = np.asarray(res32.uPred[:, 0], np.float64)
+        u_r = np.asarray(res_r.uPred[:, 0], np.float64)
+        u64 = np.asarray(res64.uPred[:, 0], np.float64)
+        out["accuracy"] = {
+            "probe_batch": Bacc, "refine_iters": k_ref,
+            "u0_err_f32": _pct(np.abs(u32 - u64).max(axis=1)),
+            "u0_err_refine": _pct(np.abs(u_r - u64).max(axis=1)),
+            "gap_f32": _pct(res32.gap, (50, 99)),
+            "gap_refine": _pct(res_r.gap, (50, 99)),
+            "gap_f64": _pct(res64.gap, (50, 99)),
+            "refine_latency_p50_ms": round(lat_r * 1e3, 2),
+        }
+
+    print(json.dumps(out), flush=True)
 
 
 def bench_quadruped():

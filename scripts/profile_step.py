@@ -34,7 +34,7 @@ def main():
     from belief_planning_tpu.models.predictive import highway_model
     from belief_planning_tpu.presets import init_branch_mpc
     from belief_planning_tpu.solvers.tree_qp import assemble_stage_cost
-    from belief_planning_tpu.solvers.tree_qp_bl import cost_to_bl, _to_bl
+    from belief_planning_tpu.solvers.layout import cost_to_bl, _to_bl
     from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
     from belief_planning_tpu.solvers.tree_qp_pl import qp_ipm_solve_pl
     from belief_planning_tpu.solvers.tree_qp import build_stage_plan

@@ -157,3 +157,91 @@ def test_batched_merge_matches_host_env():
     assert np.allclose(np.asarray(traj_b["u"][0]), np.stack(host_u),
                        atol=3e-3), (
         np.abs(np.asarray(traj_b["u"][0]) - np.stack(host_u)).max())
+
+
+def test_batched_merge_step_teacher_forced():
+    """Per-step parity of the batched merge env vs the host env with BOTH the
+    world state and the warm start FORCED from the host every step: both
+    sides then solve the *identical* program (same states, same linearization
+    trajectory — without warm forcing the dh[0]-floor bifurcation makes the
+    programs genuinely diverge), so the applied input must agree to solver
+    precision on steps where both IPMs converge — pinning the env data
+    plumbing (ramp S/xRef/bx tables, policy dispatch, obstacle override) far
+    harder than the episode-scale 1e-3 closed-loop gate.
+
+    Thresholds are empirical (deterministic on the CPU/f64 suite config): at
+    gaps ≤ 1e-6 the sides agree to 4e-7; at gaps ≤ 1e-5 to 4.7e-6 (gate
+    2e-5). Steps where either side sits in the measured Mehrotra-jam
+    bifurcation (gap pinned ~1e-3 regardless of iteration count; cvar_ipm.py
+    docstring — the cold ramp-S solves at t=0,1 jam on the host side while
+    the batched layout's 1e-15-different einsums converge) deviate up to
+    3.3e-3 and are held only to the closed-loop scale."""
+    from belief_planning_tpu.controllers.cvar_mpc import BranchMPCCVaR
+    from belief_planning_tpu.envs.batched_merge import make_batched_merge_fused
+    from belief_planning_tpu.envs.merge import HighwayMergeEnv, merge_ref_lines
+    from belief_planning_tpu.models.policies import merge_policy_set
+    from belief_planning_tpu.models.predictive import merge_model
+    from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig
+
+    N, NB = 4, 1
+    cons = BranchConstants(am=7.0)
+    N_lane, merge_lane, merge_s, merge_R, merge_side = 2, 1, 50, 300, 0
+    refY, refpsi = merge_ref_lines(N_lane, merge_lane, merge_s, merge_R,
+                                   merge_side)
+    pset_normal = merge_policy_set(cons, 20.0, None)
+    pset_merge = merge_policy_set(cons, 20.0, refpsi)
+    model_normal = merge_model(cons, pset_normal, N=N, dt=0.1)
+    model_merge = merge_model(cons, pset_merge, N=N, dt=0.1)
+    params = init_branch_mpc(4, 2, N, NB, np.array([0.5, 1.8, 15.0, 0.0]),
+                             am=7.0, rm=0.3, N_lane=N_lane, W=cons.W)
+    ipm = CVaRIPMConfig(iters=200, gondzio=2)
+
+    mpc = BranchMPCCVaR(params, model_normal, pset_normal.params, ralpha=0.1,
+                        ipm=ipm, use_S=True, dtype=jnp.float64)
+    env = HighwayMergeEnv(
+        NV=2, N_lane=N_lane, mpc=mpc, models=[model_normal, model_merge],
+        policy_param_sets=[pset_normal.params, pset_merge.params],
+        merge_lane=merge_lane, merge_s=merge_s, merge_R=merge_R,
+        merge_side=merge_side, dt=0.1, cons=cons,
+    )
+
+    T = 6
+    host_pre, host_u, host_gap, host_carry = [], [], [], []
+    for t in range(T):
+        host_pre.append((env.veh_set[0].state.copy(),
+                         env.veh_set[1].state.copy()))
+        host_carry.append(mpc.carry)        # pre-solve warm start (immutable)
+        u_set, *_ = env.step(t)
+        host_u.append(np.asarray(u_set[0]))
+        host_gap.append(float(np.asarray(mpc.last.gap).ravel()[0]))
+
+    _, init_worlds, episode = make_batched_merge_fused(
+        cons, model_normal, params, pset_normal.params, ralpha=0.1, ipm=ipm,
+        use_pallas=False, N_lane=N_lane, merge_lane=merge_lane,
+        merge_s=merge_s, merge_R=merge_R, merge_side=merge_side,
+        dtype=jnp.float64)
+    step1 = jax.jit(episode.step_once)
+    worlds = init_worlds(1, jax.random.key(0), x0=host_pre[0][0][None],
+                         z0=host_pre[0][1][None])
+
+    tight, loose = [], []
+    for t in range(T):
+        carry_f = jax.tree.map(lambda a: jnp.asarray(a)[None], host_carry[t])
+        worlds = worlds._replace(
+            x=jnp.asarray(host_pre[t][0], jnp.float64)[None],
+            z=jnp.asarray(host_pre[t][1], jnp.float64)[None],
+            mpc_carry=carry_f)
+        worlds, out = step1(worlds)
+        du = float(np.abs(np.asarray(out["u"][0]) - host_u[t]).max())
+        bgap = float(np.asarray(out["gap"]).ravel()[0])
+        if max(host_gap[t], bgap) < 1e-5:
+            tight.append(du)
+        else:
+            loose.append(du)
+    assert tight, "no converged (non-jammed) steps — the tight gate is vacuous"
+    assert max(tight) < 2e-5, (
+        f"teacher-forced converged-step deviation {max(tight):.2e} "
+        f"(tight steps: {len(tight)}/{T})")
+    if loose:
+        assert max(loose) < 1e-2, (
+            f"jammed-step deviation {max(loose):.2e} beyond closed-loop scale")

@@ -24,7 +24,7 @@ from belief_planning_tpu.controllers.cvar_mpc import (
 from belief_planning_tpu.solvers.cvar import build_cvar_plan
 from belief_planning_tpu.solvers.cvar_ipm import CVaRIPMConfig, cvar_ipm_solve
 from belief_planning_tpu.solvers.cvar_pl import cvar_ipm_solve_pl
-from belief_planning_tpu.solvers.tree_qp_bl import _to_bl
+from belief_planning_tpu.solvers.layout import _to_bl
 from belief_planning_tpu.tree.engine import build_tree
 from belief_planning_tpu.tree.topology import build_topology
 

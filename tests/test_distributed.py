@@ -50,3 +50,29 @@ def test_two_process_distributed_ensemble():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"DIST-OK {pid}" in out, f"worker {pid} no OK marker:\n{out[-4000:]}"
+
+
+def test_multihost_throughput_harness():
+    """The aggregate-throughput protocol (scripts/bench_multihost.py) runs on
+    the 2-process CPU mesh and reports a sane JSON line — the same script, run
+    per-host with --tpu, is the >=2-hosts row of the BASELINE.md scaling
+    protocol."""
+    import json
+
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "scripts", "bench_multihost.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, script, "--nproc", "2", "--devices-per-proc", "2",
+         "--iters", "3"],
+        capture_output=True, text=True, timeout=540, env=env,
+        cwd=os.path.dirname(script))
+    assert out.returncode == 0, out.stderr[-4000:] + out.stdout[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "multihost_aggregate_solves_per_sec"
+    assert rec["n_proc"] == 2 and rec["n_devices"] == 4
+    assert rec["value"] > 0 and len(rec["per_proc_ms"]) == 2
+    assert rec["feasible_frac"] == 1.0

@@ -170,6 +170,7 @@ class _DualSolveMPC:
         self._mpc = mpc
         self._oracle = oracle
         self.errs = []
+        self.errs_free = []
         self.gaps = []
         self.psimax = mpc.psimax
 
@@ -203,10 +204,19 @@ class _DualSolveMPC:
         if prev_u is not None:
             import jax.numpy as jnp
             c = self._mpc.carry
+            # UN-forced one-step deviation first (engine warm-starts from its
+            # own previous solution): carry is an immutable NamedTuple, so
+            # solve with it, record, then restore and run the forced solve.
+            # This makes genuine closed-loop warm-start drift visible next to
+            # the teacher-forced parity series (which is the one gated).
+            u_free = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
+            self.errs_free.append(np.abs(np.asarray(u_free) - u_o).max())
             self._mpc.carry = c._replace(
                 u_lin=jnp.asarray(prev_u, c.u_lin.dtype),
                 old_input=jnp.asarray(prev_old, c.old_input.dtype),
             )
+        else:
+            self.errs_free.append(0.0)  # cold start: forced == free
         u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
         self.gaps.append(float(np.asarray(self._mpc.last.gap).ravel()[0]))
@@ -257,8 +267,26 @@ def test_merge_reference_scale_lane_switch():
         env.step(t)
         lane_ids.append(env.laneID[0])
     errs = np.array(dual.errs)
+    errs_free = np.array(dual.errs_free)
+    # Both series are always reported so closed-loop drift stays visible:
+    # `errs` (teacher-forced linearization → same program → solver parity) is
+    # the 1e-3 gate; `errs_free` (engine warm-starts from its own previous
+    # solution) is expected to show isolated dh[0]-floor bifurcation spikes
+    # (~6.7e-2 from a 1e-5 seed difference, see _DualSolveMPC docstring) and
+    # is gated only by a loose envelope: median at solver scale, spikes
+    # bounded and rare.
+    print(f"\nmerge-gate forced errs:   {errs.round(8).tolist()}")
+    print(f"merge-gate unforced errs: {errs_free.round(8).tolist()}")
+    print(f"merge-gate gaps:          {np.array(dual.gaps).round(8).tolist()}")
     assert lane_ids[0] == 1 and lane_ids[-1] == 0, \
         f"episode never crossed the laneID switch: {lane_ids}"
     assert errs.max() < 1e-3, (
         f"max per-step deviation {errs.max():.2e} at step "
         f"{int(errs.argmax())}; gaps={np.array(dual.gaps).round(6).tolist()}")
+    n_spiky = int((errs_free > 1e-2).sum())
+    assert np.median(errs_free) < 1e-3, (
+        f"unforced median {np.median(errs_free):.2e} — warm-start drift is "
+        f"not confined to bifurcation spikes")
+    assert errs_free.max() < 0.5 and n_spiky <= len(errs_free) // 3, (
+        f"unforced envelope violated: max {errs_free.max():.2e}, "
+        f"{n_spiky}/{len(errs_free)} steps above 1e-2")
