@@ -179,6 +179,33 @@ def make_hmm_mpc_step(model: HMMPredictiveModel, params: MPCParams,
     return topo, init_carry, step
 
 
+def make_hmm_mpc_batched_step(model: HMMPredictiveModel, params: MPCParams,
+                              thres: float = 0.1, feas_tol: float = 1e-3,
+                              ipm: QPIPMConfig = QPIPMConfig()):
+    """Batched HMM-belief MPC: the per-lane step under ``vmap`` — thousands of
+    belief-augmented chain programs per chip (the HMM analog of the batched
+    branch-MPC ensembles; the reference's controller is strictly one-at-a-time,
+    ``PredictiveControllers.py:130``).
+
+    The HMM program is a CHAIN LTV QP over the belief-augmented state with
+    per-stage override rows (belief-gated collision constraints), so it rides
+    the structured Riccati IPM rather than the fused tree kernel — the
+    override-row generality is exactly what the fused kernel specializes
+    away. Returns ``(topo, init_batched(B, dtype), bstep)`` with
+    ``bstep(carrys, x0s, b0s, xbackups, xRef)`` over batch-leading pytrees
+    (``xRef`` shared).
+    """
+    topo, init_carry, step = make_hmm_mpc_step(
+        model, params, thres=thres, feas_tol=feas_tol, solver="ipm", ipm=ipm)
+
+    def init_batched(B, dtype=jnp.float32):
+        c = init_carry(dtype)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), c)
+
+    bstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+    return topo, init_batched, bstep
+
+
 class HMMMPC:
     """Stateful wrapper mirroring the reference ``MPC.solve(x0, b, xbackup,
     xRef)`` API (``PredictiveControllers.py:130``)."""

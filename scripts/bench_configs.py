@@ -232,6 +232,66 @@ def bench_quadruped():
     }), flush=True)
 
 
+def bench_hmm():
+    """Batched HMM-belief MPC ensemble (the legacy pipeline's batched story:
+    M=1 obstacle, m=2 policies, N=6 — ``PredictiveControllers.py`` semantics;
+    belief-gated rows keep the program static, so the whole ensemble is one
+    vmapped Riccati-IPM program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from belief_planning_tpu.controllers.hmm_mpc import make_hmm_mpc_batched_step
+    from belief_planning_tpu.models import policies as P
+    from belief_planning_tpu.models.hmm import HMMPredictiveModel
+    from belief_planning_tpu.presets import init_mpc_params
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+    from belief_planning_tpu.utils.config import HMMConstants
+
+    M, m, N, nx, d = 1, 2, 6, 4, 2
+    cons = HMMConstants(am=6.0, rm=0.3)
+    fns = (P.maintain, P.brake)
+    pp = (P.MaintainParams(Kpsi=cons.Kpsi), P.brake_params_sim(cons.Kpsi))
+    model = HMMPredictiveModel(nx=nx, d=d, M=M, m=m, dt=0.1, cons=cons,
+                               policy_fns=fns, policy_params=pp)
+    params = init_mpc_params(nx, d, N, M, m, ydes=1.8, vdes=15.0, am=6.0,
+                             rm=0.3, N_lane=6, W=2.4)
+
+    ipm = QPIPMConfig(iters=int(os.environ.get("BENCH_IPM_ITERS", "8")),
+                      gondzio=int(os.environ.get("BENCH_GONDZIO", "2")))
+    topo, init_batched, bstep = make_hmm_mpc_batched_step(model, params,
+                                                          ipm=ipm)
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    x0s = np.array([0.0, 1.8, 15.0, 0.0]) + rng.normal(0, 0.2, (B, nx))
+    b0s = rng.uniform(0.2, 0.8, (B, M, m))
+    b0s = b0s / b0s.sum(axis=2, keepdims=True)
+    z = np.array([14.0, 1.8, 10.0, 0.0])
+    steps = (np.arange(N) + 1)[None, :, None, None] * 0.1
+    vels = np.stack([np.array([10., 0, 0, 0]), np.array([8., 0, 0, 0])])
+    xbk = z[None, None, None, :] + steps * vels[None, None, :, :]
+    xbackups = np.broadcast_to(xbk, (B, N, M * m, nx)).copy()
+    xbackups += rng.normal(0, 0.1, xbackups.shape)
+    xRef = np.concatenate([np.array([0., 1.8, 15., 0.]), np.zeros(M * m)])
+
+    x0s, b0s, xbackups, xRef = (jnp.asarray(a, dtype)
+                                for a in (x0s, b0s, xbackups, xRef))
+    carrys = init_batched(B, dtype)
+    dt_wall, res = _timed(bstep, carrys, (x0s, b0s, xbackups, xRef),
+                          int(os.environ.get("BENCH_ITERS", "5")))
+    sps = B / dt_wall
+    feas = float(np.asarray(res.feasible, np.float32).mean())
+    print(json.dumps({
+        "metric": "hmm_belief_mpc_solves_per_sec_per_chip",
+        "config": {"N": N, "M": M, "m": m, "B": B, "iters": ipm.iters,
+                   "gondzio": ipm.gondzio},
+        "value": round(sps, 1), "unit": "solves/s",
+        "vs_baseline": round(sps / BASELINE_PER_CHIP, 3),
+        "feasible_frac": round(feas, 4),
+    }), flush=True)
+
+
 def main():
     import jax
 
@@ -246,6 +306,8 @@ def main():
         bench_merge()
     if which in ("quadruped", "all"):
         bench_quadruped()
+    if which in ("hmm", "all"):
+        bench_hmm()
 
 
 if __name__ == "__main__":

@@ -135,3 +135,48 @@ def test_hmm_highway_env_steps():
     # beliefs remain simplex distributions
     assert np.allclose(env.b.sum(axis=1), 1.0, atol=1e-8)
     assert np.all(env.b >= -1e-12)
+
+
+def test_hmm_batched_step_matches_per_lane():
+    """The vmapped batched HMM step (the ensemble path the reference never
+    had) must reproduce the per-lane step exactly on a small batch."""
+    from belief_planning_tpu.controllers.hmm_mpc import (
+        make_hmm_mpc_batched_step,
+        make_hmm_mpc_step,
+    )
+    from belief_planning_tpu.solvers.tree_qp_ipm import QPIPMConfig
+
+    cons, model, params = hmm_setup(N=6)
+    ipm = QPIPMConfig(iters=12)
+    _, init_c, step = make_hmm_mpc_step(model, params, solver="ipm", ipm=ipm)
+    _, init_b, bstep = make_hmm_mpc_batched_step(model, params, ipm=ipm)
+
+    B = 3
+    rng = np.random.default_rng(3)
+    x0s = np.array([0., 1.8, 15., 0.]) + rng.normal(0, 0.2, (B, 4))
+    b0s = rng.uniform(0.2, 0.8, (B, 1, 2))
+    b0s /= b0s.sum(axis=2, keepdims=True)
+    z = np.array([14., 1.8, 10., 0.])
+    xbk = np.zeros((B, 6, 2, 4))
+    for t in range(6):
+        xbk[:, t, 0] = z + np.array([10., 0, 0, 0]) * 0.1 * (t + 1)
+        xbk[:, t, 1] = z + np.array([8., 0, 0, 0]) * 0.1 * (t + 1)
+    xbk += rng.normal(0, 0.05, xbk.shape)
+    xRef = np.concatenate([np.array([0., 1.8, 15., 0.]), np.zeros(2)])
+
+    f64 = jnp.float64
+    args = tuple(jnp.asarray(a, f64) for a in (x0s, b0s, xbk, xRef))
+    carrys = init_b(B, f64)
+    carrys, res_b = bstep(carrys, *args)
+    carrys, res_b2 = bstep(carrys, *args)     # warm step too
+
+    for i in range(B):
+        c = init_c(f64)
+        c, r1 = step(c, args[0][i], args[1][i], args[2][i], args[3])
+        c, r2 = step(c, args[0][i], args[1][i], args[2][i], args[3])
+        assert np.allclose(np.asarray(res_b.uPred[i]), np.asarray(r1.uPred),
+                           atol=1e-9)
+        assert np.allclose(np.asarray(res_b2.uPred[i]), np.asarray(r2.uPred),
+                           atol=1e-9)
+    assert np.all(np.asarray(res_b.feasible)) and np.all(
+        np.asarray(res_b2.feasible))
