@@ -50,7 +50,19 @@ def make_cvar_mpc_step(
     replicate_quirks: bool = True,
     use_S: bool = False,
     prep_dtype=None,
+    restart: int = 0,
+    restart_cfg: Optional[CVaRIPMConfig] = None,
 ):
+    """``restart``: warm-primal barrier-restart iterations for Mehrotra-jam
+    recovery. The jam (cvar_ipm.py docstring) pins the gap at ~1e-5-1e-3 on
+    some warm solves regardless of iteration count, leaving ~1e-3-scale
+    best-iterate error; a second solve initialized at the first solve's
+    primal with FRESH centered duals (the tuned default start — the same
+    recipe as the batched path's ``refine_f64``, which was measured to
+    converge past the analogous f32 wall) re-approaches from a clean dual.
+    ``ts.x_lin``/``u_lin`` feed only the iterate init and the exact-
+    equivalent per-cone scaling, so the restart solves the SAME program. The
+    restarted result is used only where it improves the duality gap."""
     topo = build_topology(params.N, params.NB, model.m, params.n, params.d)
     cplan = build_cvar_plan(topo, replicate_quirks=replicate_quirks)
     Fx, Fu, bu = params.Fx, params.Fu, params.bu
@@ -77,10 +89,12 @@ def make_cvar_mpc_step(
                         u_lin.astype(pd), policy_params)
         if pd != x.dtype:
             ts = _cast_pytree(ts, x.dtype)
+        S_used = (jnp.asarray(S, x.dtype)
+                  if (use_S and S is not None) else None)
         x_f, u_f, s_f, r_f, aux = cvar_ipm_solve(
             cplan, ts, Q, R, Qslack, xRef, ralpha,
             Fx, bx_used, Fu, bu, x,
-            S=(jnp.asarray(S, x.dtype) if (use_S and S is not None) else None),
+            S=S_used,
             cfg=ipm,
             # dh[0]-floor quirk applies to warm re-solves only
             # (MPC_branch.py:2030 lives in updateIneqConstr, not the cold
@@ -88,6 +102,31 @@ def make_cvar_mpc_step(
             # merge solve when floored cold
             dh0_floor=carry.initialized,
         )
+        if restart > 0:
+            import dataclasses
+            # default restart config flips the corrector count: the jam
+            # bifurcation is corrector-pattern-sensitive, so a restart that
+            # re-runs the exact same iteration sequence from the jammed
+            # best-primal re-jams identically (measured t=2 overtake), while
+            # a different pattern re-approaches from the same point
+            rcfg = (restart_cfg if restart_cfg is not None
+                    else dataclasses.replace(
+                        ipm, iters=restart,
+                        gondzio=(4 if ipm.gondzio != 4 else 2)))
+            ts_r = ts._replace(x_lin=x_f.astype(ts.x_lin.dtype),
+                               u_lin=u_f.astype(ts.u_lin.dtype))
+            x2, u2, s2, r2, aux2 = cvar_ipm_solve(
+                cplan, ts_r, Q, R, Qslack, xRef, ralpha,
+                Fx, bx_used, Fu, bu, x,
+                S=S_used, cfg=rcfg, dh0_floor=carry.initialized,
+            )
+            better = aux2["gap"] < aux["gap"]
+            x_f = jnp.where(better, x2, x_f)
+            u_f = jnp.where(better, u2, u_f)
+            s_f = jnp.where(better, s2, s_f)
+            r_f = jnp.where(better, r2, r_f)
+            aux = {"J": jnp.where(better, aux2["J"], aux["J"]),
+                   "gap": jnp.minimum(aux2["gap"], aux["gap"])}
         new_carry = MPCCarry(
             u_lin=u_f, p=ts.p, old_input=u_f[0], initialized=jnp.asarray(True),
         )
@@ -238,6 +277,8 @@ class BranchMPCCVaR:
         use_S: bool = False,
         dtype=jnp.float64,
         prep_dtype=None,
+        restart: int = 0,
+        restart_cfg: Optional[CVaRIPMConfig] = None,
     ):
         self.params = mpcParameters
         self.model = predictiveModel
@@ -247,7 +288,7 @@ class BranchMPCCVaR:
         self.dtype = dtype
         self.topo, self.cplan, self._init_carry, step = make_cvar_mpc_step(
             predictiveModel, mpcParameters, ralpha, ipm, replicate_quirks, use_S,
-            prep_dtype=prep_dtype,
+            prep_dtype=prep_dtype, restart=restart, restart_cfg=restart_cfg,
         )
         self._step = jax.jit(step)
         self.carry = self._init_carry(dtype)
