@@ -355,21 +355,32 @@ class OracleCVaRController:
     # -- solve --------------------------------------------------------------
 
     @staticmethod
-    def _accept(sol):
-        """ECOS exitFlag>=0 semantics (``MPC_branch.py:2141``): optimal, or a
-        near-converged final iterate. A non-optimal exit needs BOTH a small
-        complementarity gap (absent on the SOCP path — its solution stores
-        residuals only) AND small normalized primal/dual residuals, so a
-        max_iter iterate with tiny s·λ but a live residual can't silently
-        gate parity tests. Residual bound 1e-4: warm knife-edge solves can
-        exit max_iter at gap ~1e-6 / residuals ~1e-5 with u0 within ~1e-6 of
-        the optimum (merge-gate probe 2026-08-21); 1e-4 still rejects
-        genuinely-unconverged iterates with 10x margin vs the 1e-3 gate."""
+    def _quality(sol):
+        """Convergence tier of a solver exit — ECOS-semantics graded
+        (``MPC_branch.py:2141`` accepts exitFlag>=0, which spans ECOS_OPTIMAL
+        through ECOS_INACC):
+
+        - ``"tight"``: optimal, or a max_iter iterate whose gap AND
+          residuals are at solver precision — u0 trustworthy to ~1e-6
+          (knife-edge warm exits, merge-gate probe 2026-08-21);
+        - ``"loose"``: near-converged (residuals < 3e-2) — usable, but u0
+          carries ~1e-3-1e-2 uncertainty, so parity gates must not hold the
+          engine to 1e-3 against it (the ECOS_INACC analog);
+        - ``"failed"``: anything worse (a max_iter iterate with tiny s·λ but
+          O(1) residuals must never silently gate parity tests)."""
         gap = getattr(sol, "gap", None)
         pr = float(getattr(sol, "prim_res", np.inf))
         dr = float(getattr(sol, "dual_res", np.inf))
-        return sol.status == "optimal" or (
-            (gap is None or float(gap) < 1e-5) and pr < 1e-4 and dr < 1e-4)
+        if sol.status == "optimal" or (
+                (gap is None or float(gap) < 1e-5) and pr < 1e-5 and dr < 1e-5):
+            return "tight"
+        if (gap is None or float(gap) < 1e-4) and pr < 3e-2 and dr < 3e-2:
+            return "loose"
+        return "failed"
+
+    @classmethod
+    def _accept(cls, sol):
+        return cls._quality(sol) != "failed"
 
     def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None, method="qcqp",
               **solver_kw):
@@ -419,12 +430,18 @@ class OracleCVaRController:
         # cone-ADMM (oracle/socp.py) has no step-length mechanism to jam, so
         # failed steps fall back to it; ECOS (a non-Mehrotra IPM with
         # centrality safeguards) would not exhibit the jam in the first place.
-        if method == "qcqp" and not self._accept(sol):
+        if method == "qcqp" and self._quality(sol) != "tight":
             sol2 = solve_socp(qv, self.F, self.b, self.dims, self.G, geq,
-                              tol=solver_kw.get("tol", 1e-9))
-            if self._accept(sol2):
+                              tol=solver_kw.get("tol", 1e-9),
+                              max_iter=120000)
+            rank = {"tight": 2, "loose": 1, "failed": 0}
+            q1, q2 = rank[self._quality(sol)], rank[self._quality(sol2)]
+            res = lambda s: max(float(getattr(s, "prim_res", np.inf)),
+                                float(getattr(s, "dual_res", np.inf)))
+            if q2 > q1 or (q2 == q1 and res(sol2) < res(sol)):
                 sol = sol2
         self.solution = sol
+        self.quality = self._quality(sol)
         # ECOS semantics (MPC_branch.py:2141): exitFlag >= 0 counts as
         # feasible, which includes "close to optimal" (ECOS_INACC, flag 10)
         # — a max_iter exit whose final iterate is near-converged. Mirror
