@@ -142,6 +142,10 @@ def _closed_loop(oracle, mpc, cons, dt, n_steps, x0, z0, xRef,
                 gaps_forced.append(float(np.asarray(mpc.last.gap).ravel()[0]))
             errs_forced.append(np.abs(u_o - u_f).max())
         errs.append(np.abs(u_o - u_j).max())
+        if os.environ.get("BP_GATE_PROGRESS"):
+            ef = errs_forced[-1] if forced_series else float("nan")
+            print(f"[gate] t={t} err={errs[-1]:.3e} forced={ef:.3e} "
+                  f"tier={oq[-1]}", flush=True)
         x_o, z_o = f(x_o, u_o), f(z_o, obs_u(z_o))
         x_j, z_j = f(x_j, np.asarray(u_j)), f(z_j, obs_u(z_j))
     if forced_series:
@@ -327,6 +331,10 @@ class _DualSolveMPC:
         u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
         self.gaps.append(float(np.asarray(self._mpc.last.gap).ravel()[0]))
+        if os.environ.get("BP_GATE_PROGRESS"):
+            print(f"[gate] t={len(self.errs)-1} forced={self.errs[-1]:.3e} "
+                  f"free={self.errs_free[-1]:.3e} gap={self.gaps[-1]:.2e} "
+                  f"tier={self.oq[-1]}", flush=True)
         return u_j
 
     def __getattr__(self, name):
