@@ -466,6 +466,17 @@ class OracleCVaRController:
             self.uPred = sol.v[self.totalx * n: self.totalx * n + self.totalu * d].reshape(-1, d)
             self.xLin = self.xPred
             self.uLin = np.vstack((self.uPred, self.uPred[-1]))
+        if self.uPred is None:
+            # Infeasible on the very first solve: there is no prior plan to
+            # fall back on (the reference env's infeasible-step backup reuses
+            # the previous uPred, Highway_env_branch.py:155-160). Raise a
+            # diagnosable error instead of a TypeError on None.
+            raise RuntimeError(
+                "oracle CVaR solve failed on the first step (tier="
+                f"{self.quality}, status={sol.status}, pr="
+                f"{float(getattr(sol, 'prim_res', np.nan)):.3g}, dr="
+                f"{float(getattr(sol, 'dual_res', np.nan)):.3g}); no prior "
+                "uPred to fall back on")
         self.OldInput = self.uPred[0, :].copy()
         return self.uPred[0].copy()
 

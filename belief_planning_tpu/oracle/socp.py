@@ -59,6 +59,8 @@ def solve_socp(
     max_iter: int = 40000,
     tol: float = 1e-9,
     reg: float = 1e-9,
+    plateau_checks: int = 30,
+    plateau_rtol: float = 5e-3,
 ) -> SOCPSolution:
     q = np.asarray(q, np.float64).ravel()
     F = np.asarray(F, np.float64)
@@ -122,6 +124,17 @@ def solve_socp(
     it = 0
     pr = dr = np.inf
     s_prev = s
+    # Plateau early-exit: residuals are sampled every 100 iterations; if the
+    # best combined residual fails to improve by a relative `plateau_rtol`
+    # over `plateau_checks` consecutive samples (default: 3000 iterations at
+    # <0.5% total improvement — a run converging that slowly would need >4M
+    # iterations to gain one decade), exit with status="stalled" and let the
+    # caller's tier logic classify the final iterate. Motivated by the
+    # overtake reference-scale gate, where a jammed program burned the full
+    # 120k budget (~8 min host-CPU/step on this box) before being tiered
+    # 'failed' anyway (evidence/gate_overtake_2026-08-22.log, t=25/t=28).
+    best_res = np.inf
+    since_best = 0
     for it in range(1, max_iter + 1):
         rhs = -qs / rho + As.T @ (bs - s - y / rho)
         v = scipy.linalg.cho_solve(cho, rhs)
@@ -141,6 +154,15 @@ def solve_socp(
             ):
                 status = "optimal"
                 break
+            comb = max(pr, dr)
+            if comb < best_res * (1.0 - plateau_rtol):
+                best_res = comb
+                since_best = 0
+            else:
+                since_best += 1
+                if plateau_checks and since_best >= plateau_checks:
+                    status = "stalled"
+                    break
 
     return SOCPSolution(
         v=v * Dc, s=s / Dr, y=y * Dr, iterations=it, status=status,

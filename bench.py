@@ -172,7 +172,7 @@ def main():
     # round's official number (BENCH_r01→r03 regressed 31.5k→20.8k from
     # exactly this).
     load0 = wait_for_quiet_host(
-        max_wait_s=float(os.environ.get("BENCH_MAX_WAIT", "300")))
+        max_wait_s=float(os.environ.get("BENCH_MAX_WAIT", "420")))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     gap = float(os.environ.get("BENCH_BLOCK_GAP", "20"))
@@ -200,7 +200,12 @@ def main():
     # If the best block still implies < BENCH_DIP_FLOOR solves/s, re-sample
     # up to BENCH_EXTRA more blocks after a 60 s pause each, so the round's
     # one official run isn't decided by a transient.
-    dip_floor = float(os.environ.get("BENCH_DIP_FLOOR", "15000"))
+    # The 15k solves/s floor is calibrated to the default B=32768 config;
+    # smaller batches legitimately run at lower rates, so dip detection is
+    # disabled (floor 0) when the batch deviates from the default unless the
+    # caller sets an explicit floor for their config.
+    dip_default = "15000" if B == 32768 else "0"
+    dip_floor = float(os.environ.get("BENCH_DIP_FLOOR", dip_default))
     extra = int(os.environ.get("BENCH_EXTRA", "2"))
     while extra > 0 and B / min(block_medians) < dip_floor:
         print(f"bench: dip suspected ({B / min(block_medians):.0f} solves/s);"
@@ -208,6 +213,30 @@ def main():
         time.sleep(60.0)
         extra -= 1
         block_medians.append(measure_block())
+    # Sustained-session mode (BENCH_SESSION=1): spread additional measurement
+    # blocks over ~20-30 min and report the full rate distribution, so the
+    # day's delivered-throughput band is measured instead of asserted (the
+    # round-4 finding: 14-16k measured vs a claimed 28-41k "quiet-box range"
+    # that three same-day runs could not reproduce). The official value stays
+    # the best block (least-contended estimate); the distribution rides along
+    # in the JSON.
+    session = {}
+    if os.environ.get("BENCH_SESSION", "0") != "0":
+        s_blocks = int(os.environ.get("BENCH_SESSION_BLOCKS", "10"))
+        s_gap = float(os.environ.get("BENCH_SESSION_GAP", "120"))
+        for sb in range(s_blocks):
+            time.sleep(s_gap)
+            block_medians.append(measure_block())
+            print(f"bench: session block {sb + 1}/{s_blocks}: "
+                  f"{B / block_medians[-1]:.0f} solves/s "
+                  f"(loadavg {os.getloadavg()[0]:.2f})", file=sys.stderr)
+        rates = sorted(B / m for m in block_medians)
+        session = {
+            "session_rates": [round(r, 0) for r in rates],
+            "session_p50": round(float(np.median(rates)), 0),
+            "session_min": round(rates[0], 0),
+            "session_max": round(rates[-1], 0),
+        }
     dt_wall = min(block_medians)
     solves_per_sec = B / dt_wall
 
@@ -248,6 +277,7 @@ def main():
         "loadavg_at_start": round(load0, 2),
         "loadavg_at_end": round(os.getloadavg()[0], 2),
         "block_medians_ms": [round(m * 1e3, 1) for m in block_medians],
+        **session,
         **latency,
     }))
 

@@ -31,6 +31,32 @@ def test_socp_solver_simple_cone():
     assert np.allclose(sol.v, [expect, expect], atol=1e-6)
 
 
+def test_socp_plateau_exit_stops_stalled_runs():
+    """A program the ADMM cannot drive to tol (here: an INFEASIBLE LP, whose
+    residual plateaus at the infeasibility measure) must exit via the plateau
+    detector in a small fraction of the iteration budget with
+    status='stalled', instead of burning max_iter (the ~8 min/step cost that
+    blocked the 100-step overtake gate, evidence/gate_overtake_2026-08-22.log).
+    A solvable program with the same settings must still reach 'optimal'."""
+    # x >= 1 and -x >= 0 — empty feasible set; ADMM residual plateaus.
+    q = np.array([1.0, 0.0])
+    F = np.array([[-1.0, 0.0], [1.0, 0.0]])
+    b = np.array([-1.0, 0.0])
+    dims = {"l": 2, "q": []}
+    sol = solve_socp(q, F, b, dims, tol=1e-9, max_iter=120000)
+    assert sol.status == "stalled"
+    assert sol.iterations < 30000, sol.iterations
+    # plateau detection must not fire on a convergent run (tol within reach
+    # of the ADMM's floating-point floor; at tol=1e-9 the same program stalls
+    # at dr≈4.7e-9 and the detector correctly fires — same final iterate the
+    # old code burned the full max_iter to reach, graded by residuals either
+    # way)
+    sol2 = solve_socp(q, np.vstack([np.eye(2), -np.eye(2)]),
+                      np.array([2.0, 2.0, 2.0, 2.0]), {"l": 4, "q": []},
+                      tol=1e-8)
+    assert sol2.status == "optimal"
+
+
 def test_socp_solver_matches_qp_on_lp_part():
     # random strictly-feasible LP solved by both oracles (SOCP with l-rows only
     # and a quadratic epigraph-free objective is an LP)

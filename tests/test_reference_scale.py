@@ -125,9 +125,9 @@ def _closed_loop(oracle, mpc, cons, dt, n_steps, x0, z0, xRef,
         # exitFlag<0 keeps the old input sequence, Highway_env_branch.py),
         # the closed loop continues, and the step is EXCLUDED from parity
         # comparison (truth unknown there — the dense QCQP Mehrotra-jams and
-        # the 120k-iteration cone-ADMM fallback can stall on the same
-        # maneuver-window programs, measured t=24 of this gate: ADMM
-        # pr 6.8e-3). Exclusion is visible (tier='failed', errs→nan) and
+        # the cone-ADMM fallback can stall on the same maneuver-window
+        # programs, measured t=25/t=28 of the recorded 2026-08-22 run:
+        # ADMM pr 6.81e-3). Exclusion is visible (tier='failed', errs→nan) and
         # rarity-bounded by the caller, never silently compared.
         oq.append(getattr(oracle, "quality", "tight"))
         o_ok = bool(getattr(oracle, "feasible", 1))
@@ -443,6 +443,13 @@ def test_merge_reference_scale_lane_switch():
     # identically, PARITY.md bifurcation section). The forced series above is
     # therefore the solver-parity gate; this series is a warm-start
     # sensitivity probe gated only against blow-up:
-    assert errs_free.max() < 1.0, (
+    # Blow-up bound 2.0: well clear of the recorded bifurcation-scale max
+    # (0.66) so a benign fork landing differently can't flake a 10-minute
+    # gate; the robust statistic below bounds the distribution instead.
+    assert errs_free.max() < 2.0, (
         f"unforced deviation blew past the bifurcation scale: "
         f"max {errs_free.max():.2e}")
+    assert np.nanmedian(errs_free) < 0.1, (
+        f"unforced median {np.nanmedian(errs_free):.2e} — warm-start drift "
+        f"is no longer confined to dh[0]-floor forks (recorded median "
+        f"1.9e-2, 2026-08-22 run)")
