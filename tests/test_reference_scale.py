@@ -154,9 +154,11 @@ def _closed_loop(oracle, mpc, cons, dt, n_steps, x0, z0, xRef,
             errs_forced.append(np.abs(u_o - u_f).max() if o_ok else np.nan)
         errs.append(np.abs(u_o - u_j).max() if o_ok else np.nan)
         if os.environ.get("BP_GATE_PROGRESS"):
+            import time as _time
             ef = errs_forced[-1] if forced_series else float("nan")
             print(f"[gate] t={t} err={errs[-1]:.3e} forced={ef:.3e} "
-                  f"tier={oq[-1]}", flush=True)
+                  f"tier={oq[-1]} "
+                  f"({_time.strftime('%H:%M:%S')})", flush=True)
         x_o, z_o = f(x_o, u_o), f(z_o, obs_u(z_o))
         x_j, z_j = f(x_j, np.asarray(u_j)), f(z_j, obs_u(z_j))
     if forced_series:
