@@ -183,9 +183,14 @@ def make_cvar_mpc_batched_step(
     _require_x64(refine_f64, prep_dtype, "make_cvar_mpc_batched_step")
     # tuned default start for the restart — a small-μ0 "gentle" start was
     # measured (QP path) to diverge monotonically from fresh under-scaled
-    # duals; see branch_mpc.make_branch_mpc_batched_step
+    # duals; see branch_mpc.make_branch_mpc_batched_step.
+    # Default flips the Gondzio corrector pattern, same as the stateful
+    # path's jam-recovery restart: a same-pattern refine re-jams on the hard
+    # tail (measured on-chip 2026-08-22, B=256 overtake stress batch:
+    # same-pattern refine24 u0 err p90 0.14 vs flipped refine60 p90 2.9e-3
+    # on tight-reference lanes; evidence/cvar_onchip_refine_2026-08-22.log).
     rcfg = refine_cfg if refine_cfg is not None else CVaRIPMConfig(
-        iters=refine_f64, gondzio=ipm.gondzio)
+        iters=refine_f64, gondzio=(4 if ipm.gondzio != 4 else 2))
 
     def prep(carry: MPCCarry, x, z, policy_params):
         x = jnp.asarray(x)
