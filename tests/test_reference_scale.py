@@ -229,19 +229,26 @@ def test_overtake_reference_scale_cvar():
         f"TIGHT step (engine gap<1e-5, oracle optimal)")
     # failed-oracle steps (both the dense QCQP and the cone-ADMM fallback
     # stall — the jam programs of the maneuver window) carry no truth and are
-    # excluded (nan) from the forced/unforced series; they must stay rare
-    assert np.nanmax(errs_forced) < 1e-2 and n_loose <= 20 \
-        and n_failed <= max(2, n_steps // 10), (
+    # excluded (nan) from the forced/unforced series; they must stay rare.
+    # Bounds calibrated to the recorded full 100-step run
+    # (evidence/gate_overtake_full_2026-08-22.log, 1 passed in 1:20:31):
+    # tiers 87 tight / 7 loose-or-engine-jam / 6 failed; forced parity on
+    # tight steps max 3.35e-5; forced nanmax 1.89e-3 (the single engine
+    # warm-primal jam step t=2); small margin added on each.
+    assert np.nanmax(errs_forced) < 5e-3 and n_loose <= 12 \
+        and n_failed <= max(2, n_steps // 12), (
         f"jam/inaccuracy envelope violated: max forced "
         f"{np.nanmax(errs_forced):.2e}, {n_loose} loose + {n_failed} "
         f"failed-oracle steps")
-    # unforced envelope: drift stays at solver scale outside the maneuver
-    # window's bifurcation forks, and even forks stay bounded
+    # unforced envelope, same calibration: recorded median 1.9e-4, max
+    # 5.3e-3, zero steps above 1e-2 — no bifurcation fork materialized
+    # through the maneuver window in the recorded run; 0.1 leaves room for
+    # one benign fork without letting drift pass silently
     n_spiky = int(np.nansum(errs > 1e-2))
     assert np.nanmedian(errs) < 1e-3, (
         f"unforced median {np.nanmedian(errs):.2e} — closed-loop drift is "
         f"not confined to bifurcation forks")
-    assert np.nanmax(errs) < 0.5 and n_spiky <= len(errs) // 3, (
+    assert np.nanmax(errs) < 0.1 and n_spiky <= len(errs) // 10, (
         f"unforced envelope violated: max {np.nanmax(errs):.2e}, "
         f"{n_spiky}/{len(errs)} steps above 1e-2")
 
