@@ -335,6 +335,13 @@ class OracleCVaRController:
                     self.F[counter + 1 + nx * n + nu * self.d,
                            (ndx + j) * n:(ndx + j + 1) * n] = 2 * (self.xRef @ self.Q)
                 counter = counter + 2 + nx * n + nu * self.d
+        # knife-edge diagnostic: the dh[0] magnitude floor flips the whole
+        # collision row by 0.2 when dh[0] crosses zero, so a step whose raw
+        # min |dh[0]| is within rounding distance of 0 solves a DIFFERENT
+        # program than a re-linearization that lands on the other side —
+        # even teacher-forced from the same warm start (PARITY.md
+        # bifurcation section). Recorded per update for gate forensics.
+        self.min_abs_dh0 = np.inf
         for br in self.ndx:
             l = br.utraj.shape[0]
             for i in range(l):
@@ -345,6 +352,7 @@ class OracleCVaRController:
                     self.b[idx * Nc] = h
                 else:
                     dh = dh.copy()
+                    self.min_abs_dh0 = min(self.min_abs_dh0, abs(dh[0]))
                     dh[0] = np.sign(dh[0]) * max(0.1, abs(dh[0]))   # MPC_branch.py:2030
                     self.F[idx * Nc:(idx + 1) * Nc, idx * n:(idx + 1) * n] = np.vstack(
                         (-dh, self.Fx @ self.S)
@@ -371,9 +379,14 @@ class OracleCVaRController:
         gap = getattr(sol, "gap", None)
         pr = float(getattr(sol, "prim_res", np.inf))
         dr = float(getattr(sol, "dual_res", np.inf))
-        if sol.status == "optimal" or (
-                (gap is None or float(gap) < 1e-5) and pr < 1e-5 and dr < 1e-5):
+        if sol.status != "stalled" and (sol.status == "optimal" or (
+                (gap is None or float(gap) < 1e-5) and pr < 1e-5 and dr < 1e-5)):
             return "tight"
+        # A 'stalled' exit (cone-ADMM plateau, oracle/socp.py) is never
+        # 'tight' regardless of residuals: the stall marks a program where
+        # the ADMM hit its floor, and residual→solution amplification there
+        # produced a measured 3.7e-3 u0 error at pr/dr<1e-5 (merge-gate
+        # rerun 2026-08-22 t=27) — 'tight' must mean u0 trustworthy to ~1e-6.
         if (gap is None or float(gap) < 1e-4) and pr < 3e-2 and dr < 3e-2:
             return "loose"
         return "failed"

@@ -59,8 +59,8 @@ def solve_socp(
     max_iter: int = 40000,
     tol: float = 1e-9,
     reg: float = 1e-9,
-    plateau_checks: int = 30,
-    plateau_rtol: float = 5e-3,
+    plateau_checks: int = 40,
+    plateau_rtol: float = 5e-4,
 ) -> SOCPSolution:
     q = np.asarray(q, np.float64).ravel()
     F = np.asarray(F, np.float64)
@@ -126,13 +126,19 @@ def solve_socp(
     s_prev = s
     # Plateau early-exit: residuals are sampled every 100 iterations; if the
     # best combined residual fails to improve by a relative `plateau_rtol`
-    # over `plateau_checks` consecutive samples (default: 3000 iterations at
-    # <0.5% total improvement — a run converging that slowly would need >4M
-    # iterations to gain one decade), exit with status="stalled" and let the
+    # over `plateau_checks` consecutive samples (default: 4000 iterations at
+    # <0.05% per-sample improvement), exit with status="stalled" and let the
     # caller's tier logic classify the final iterate. Motivated by the
     # overtake reference-scale gate, where a jammed program burned the full
     # 120k budget (~8 min host-CPU/step on this box) before being tiered
-    # 'failed' anyway (evidence/gate_overtake_2026-08-22.log, t=25/t=28).
+    # 'failed' anyway (evidence/gate_overtake_2026-08-22.log, t=25/t=28) —
+    # hard jams pin with ~zero improvement, so the threshold can be this
+    # strict and still exit them in seconds. rtol was originally 5e-3, which
+    # cut SLOWLY-CONVERGING fallbacks near their floor: a merge-gate step's
+    # fallback exited at pr/dr~1e-5 where the full budget reached far lower,
+    # and the κ-amplified u0 was 3.7e-3 off on a tier-'tight' step (merge
+    # gate rerun 2026-08-22 t=27). Callers must also treat 'stalled' as at
+    # most loose — see reference_cvar._quality.
     best_res = np.inf
     since_best = 0
     for it in range(1, max_iter + 1):

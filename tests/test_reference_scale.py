@@ -157,7 +157,7 @@ def _closed_loop(oracle, mpc, cons, dt, n_steps, x0, z0, xRef,
             import time as _time
             ef = errs_forced[-1] if forced_series else float("nan")
             print(f"[gate] t={t} err={errs[-1]:.3e} forced={ef:.3e} "
-                  f"tier={oq[-1]} "
+                  f"tier={oq[-1]}/{getattr(sol, 'status', '?')} "
                   f"({_time.strftime('%H:%M:%S')})", flush=True)
         x_o, z_o = f(x_o, u_o), f(z_o, obs_u(z_o))
         x_j, z_j = f(x_j, np.asarray(u_j)), f(z_j, obs_u(z_j))
@@ -307,6 +307,7 @@ class _DualSolveMPC:
         self.errs_free = []
         self.gaps = []
         self.oq = []
+        self.min_dh0 = []
         self.psimax = mpc.psimax
 
     def solve(self, x, z, xRef=None, S=None, Fx=None, bx=None):
@@ -359,10 +360,15 @@ class _DualSolveMPC:
         u_j = self._mpc.solve(x, z, xRef=xRef, S=S, Fx=Fx, bx=bx)
         self.errs.append(np.abs(np.asarray(u_j) - u_o).max())
         self.gaps.append(float(np.asarray(self._mpc.last.gap).ravel()[0]))
+        self.min_dh0.append(float(getattr(self._oracle, "min_abs_dh0",
+                                          np.inf)))
         if os.environ.get("BP_GATE_PROGRESS"):
             print(f"[gate] t={len(self.errs)-1} forced={self.errs[-1]:.3e} "
                   f"free={self.errs_free[-1]:.3e} gap={self.gaps[-1]:.2e} "
-                  f"tier={self.oq[-1]}", flush=True)
+                  f"tier={self.oq[-1]}/"
+                  f"{getattr(self._oracle.solution, 'status', '?')} "
+                  f"min|dh0|={self.min_dh0[-1]:.1e}",
+                  flush=True)
         return u_j
 
     def __getattr__(self, name):
@@ -392,12 +398,19 @@ def test_merge_reference_scale_lane_switch():
 
     adapter = OracleModelAdapter(model_normal, pset_normal.params)
     oracle = OracleCVaRController(params, adapter, ralpha=0.1)
-    # iters=240 + Gondzio: the post-lane-switch solves start from a warm tree
-    # built under the other lane's geometry — the cold-start-grade jam the
-    # correctors were built for; N=40 also converges slower than the N=3 gate
+    # iters=480 (+Gondzio, restart=iters/4): the post-lane-switch solves
+    # start from a warm tree built under the other lane's geometry — the
+    # cold-start-grade jam the correctors were built for — and N=40 ramp
+    # programs are ill-conditioned enough that an engine iterate at gap
+    # ~1.7e-6 can still carry 3.7e-3 u0 error (measured 2026-08-22 t=27 at
+    # iters=240 against a QCQP-optimal oracle; 480 drops that step to
+    # 7.6e-5 and every engine gap under ~1e-6 — the round-4 PASS at 240
+    # rode a stale-code trajectory that missed this program).
+    # BP_MERGE_ITERS overrides for convergence-vs-parity forensics.
+    m_iters = int(os.environ.get("BP_MERGE_ITERS", "480"))
     mpc = BranchMPCCVaR(params, model_normal, pset_normal.params, ralpha=0.1,
-                        use_S=True, ipm=CVaRIPMConfig(iters=240, gondzio=2),
-                        restart=60, dtype=jnp.float64)
+                        use_S=True, ipm=CVaRIPMConfig(iters=m_iters, gondzio=2),
+                        restart=max(60, m_iters // 4), dtype=jnp.float64)
     dual = _DualSolveMPC(mpc, oracle)
     env = HighwayMergeEnv(
         NV=2, N_lane=N_lane, mpc=dual, models=[model_normal, model_merge],
